@@ -1,0 +1,159 @@
+"""Top-k primitives and blockwise streaming search.
+
+Replaces the reference's heap machinery (searcher/candidate_queue.go,
+searcher/queue.go) with `lax.top_k` over dense score tiles and a running-merge
+scan — the TPU analogue of "stream blocks, keep a running top-k" (SURVEY.md §5.7).
+
+All distances are smaller-is-better; invalid/padded entries carry +inf distance
+and id -1 in the final result.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vecgo_tpu.ops import distance as dist_ops
+
+_INF = jnp.inf
+
+
+def topk_smallest(scores: jax.Array, k: int):
+    """Top-k smallest along the last axis. Returns (dists [.., k], idx [.., k])."""
+    neg, idx = jax.lax.top_k(-scores, k)
+    return -neg, idx
+
+
+def merge_topk(d_a, i_a, d_b, i_b, k: int):
+    """Merge two top-k sets (last axis) into the k smallest overall."""
+    d = jnp.concatenate([d_a, d_b], axis=-1)
+    i = jnp.concatenate([i_a, i_b], axis=-1)
+    dk, pos = topk_smallest(d, k)
+    ik = jnp.take_along_axis(i, pos, axis=-1)
+    return dk, ik
+
+
+def _apply_mask(scores, mask):
+    if mask is None:
+        return scores
+    return jnp.where(mask, scores, _INF)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k",
+        "metric_name",
+        "block_rows",
+        "compute_dtype_name",
+        "x_normalized",
+    ),
+)
+def _blockwise_search_jit(
+    q,
+    x,  # [N_pad, d], N_pad % block_rows == 0
+    x_norms_sq,  # [N_pad] or None
+    mask,  # [N_pad] bool or None
+    k: int,
+    metric_name: str,
+    block_rows: int,
+    compute_dtype_name: Optional[str],
+    x_normalized: bool,
+):
+    from vecgo_tpu.model import Metric
+
+    metric = Metric(metric_name)
+    compute_dtype = jnp.dtype(compute_dtype_name) if compute_dtype_name else None
+    b = q.shape[0]
+    n_pad = x.shape[0]
+    nblocks = n_pad // block_rows
+
+    if metric == Metric.COSINE:
+        q = dist_ops.normalize(q)
+        if not x_normalized:
+            x = dist_ops.normalize(x)
+
+    if x_norms_sq is None and metric == Metric.L2:
+        x_norms_sq = dist_ops.row_norms_sq(x)
+    xb = x.reshape(nblocks, block_rows, x.shape[1])
+    nb = (
+        x_norms_sq.reshape(nblocks, block_rows)
+        if x_norms_sq is not None
+        else jnp.zeros((nblocks, block_rows), jnp.float32)
+    )
+    mb = (
+        mask.reshape(nblocks, block_rows)
+        if mask is not None
+        else jnp.ones((nblocks, block_rows), jnp.bool_)
+    )
+
+    init = (
+        jnp.full((b, k), _INF, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+
+    def body(carry, inputs):
+        bi, xblk, nblk, mblk = inputs
+        d_run, i_run = carry
+        scores = dist_ops.pairwise_scores(
+            q,
+            xblk,
+            metric,
+            x_norms_sq=nblk if metric == Metric.L2 else None,
+            x_normalized=True,
+            q_normalized=True,
+            compute_dtype=compute_dtype,
+        )
+        scores = _apply_mask(scores, mblk[None, :])
+        d_loc, i_loc = topk_smallest(scores, min(k, block_rows))
+        i_loc = i_loc + bi * block_rows
+        carry = merge_topk(d_run, i_run, d_loc, i_loc.astype(jnp.int32), k)
+        return carry, None
+
+    block_ids = jnp.arange(nblocks, dtype=jnp.int32)
+    (d_fin, i_fin), _ = jax.lax.scan(body, init, (block_ids, xb, nb, mb))
+    i_fin = jnp.where(jnp.isfinite(d_fin), i_fin, -1)
+    return d_fin, i_fin
+
+
+def blockwise_topk_search(
+    q: jax.Array,
+    x: jax.Array,
+    k: int,
+    *,
+    metric,
+    x_norms_sq: jax.Array | None = None,
+    mask: jax.Array | None = None,
+    block_rows: int = 32768,
+    compute_dtype=None,
+    x_normalized: bool = False,
+):
+    """Exact top-k search of q [B, d] against x [N, d], streaming row blocks.
+
+    This is the engine's brute-force scoring primitive (replaces the reference's
+    flat segment scan, flat/segment.go:487-560, and the cursor brute-force path,
+    engine/cursor_search.go:80). The scan keeps HBM-resident [B, block] score
+    tiles only; XLA pipelines block loads against the matmul.
+
+    `x` may be padded; padded rows must be masked out via `mask` or carry +inf
+    norms. Returns (dists [B, k], ids [B, k]) with id -1 for missing.
+    """
+    n = x.shape[0]
+    block_rows = max(128, min(block_rows, n))
+    if n % block_rows != 0:
+        pad = block_rows - (n % block_rows)
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        if x_norms_sq is not None:
+            x_norms_sq = jnp.pad(x_norms_sq, (0, pad))
+        base_mask = jnp.arange(n + pad) < n
+        mask = base_mask if mask is None else jnp.pad(mask, (0, pad)) & base_mask
+    from vecgo_tpu.model import Metric
+
+    metric = Metric(metric) if not isinstance(metric, Metric) else metric
+    cd = jnp.dtype(compute_dtype).name if compute_dtype is not None else None
+    return _blockwise_search_jit(
+        q, x, x_norms_sq, mask, k, metric.value, block_rows, cd, x_normalized
+    )
