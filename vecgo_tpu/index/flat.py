@@ -1,0 +1,455 @@
+"""Flat (brute-force) segment with optional IVF partitioning and quantized scan.
+
+Reference: internal/segment/flat (Open:105, Search:447, SIMD batch scoring
+:487-560, IVF k-means partitioning in writer.go:101-147, zero-copy
+FetchVectorDirect:1018).
+
+TPU-first design: the segment is a set of dense device arrays (codes + full
+vectors + norms); search is one jitted blockwise scan (ops/topk.py) whose
+score function is the segment's quantizer; IVF nprobe becomes a per-query
+partition mask applied inside the scan (queries stay in lockstep — no
+per-partition pointer chasing). Rerank gathers full-precision rows and runs one
+exact matmul. Block skipping (16-row stats, flat/format.go:54) is subsumed by
+the IVF mask + manifest-level segment pruning.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from vecgo_tpu.errors import ErrCorrupt, ErrDimensionMismatch
+from vecgo_tpu.metadata.columnar import ColumnarMeta
+from vecgo_tpu.model import Metric
+from vecgo_tpu.storage import container
+from vecgo_tpu import quantization as Q
+
+SEGMENT_KIND = "flat"
+
+
+class FlatWriter:
+    """Buffered writer: add rows, then finish() -> container bytes + stats.
+
+    Reference: flat.Writer (writer.go:99, k-means at :101-147).
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        metric: Metric = Metric.L2,
+        quantizer: str = "none",
+        qparams: Optional[dict] = None,
+        ivf_partitions: int = 0,
+        train_sample: int = 65536,
+        seed: int = 42,
+    ):
+        self.dim = dim
+        self.metric = metric
+        self.quantizer_kind = quantizer
+        self.qparams = dict(qparams or {})
+        self.ivf_partitions = ivf_partitions
+        self.train_sample = train_sample
+        self.seed = seed
+        self._vectors: List[np.ndarray] = []
+        self._ids: List[int] = []
+        self._docs: List[Optional[dict]] = []
+        self._payloads: List[Optional[bytes]] = []
+
+    def add(self, vector, id: int, metadata=None, payload: Optional[bytes] = None):
+        v = np.asarray(vector, np.float32).reshape(-1)
+        if v.shape[0] != self.dim:
+            raise ErrDimensionMismatch(f"got {v.shape[0]}, want {self.dim}")
+        self._vectors.append(v)
+        self._ids.append(int(id))
+        self._docs.append(metadata)
+        self._payloads.append(payload)
+
+    def add_batch(self, vectors, ids, metadatas=None, payloads=None):
+        vectors = np.asarray(vectors, np.float32)
+        for i in range(vectors.shape[0]):
+            self.add(
+                vectors[i],
+                ids[i],
+                metadatas[i] if metadatas is not None else None,
+                payloads[i] if payloads is not None else None,
+            )
+
+    @property
+    def row_count(self) -> int:
+        return len(self._ids)
+
+    def finish(self) -> bytes:
+        """Build the immutable segment; returns container bytes."""
+        n = len(self._ids)
+        x = (
+            np.stack(self._vectors)
+            if n
+            else np.zeros((0, self.dim), np.float32)
+        )
+        ids = np.asarray(self._ids, np.uint64)
+        docs = self._docs
+        payloads = self._payloads
+
+        if self.metric == Metric.COSINE and n:
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.maximum(norms, 1e-30)
+
+        # --- IVF partitioning: reorder rows by nearest centroid ---
+        ivf_centroids = None
+        ivf_part = None
+        if self.ivf_partitions > 1 and n > self.ivf_partitions:
+            from vecgo_tpu.quantization import kmeans as km
+
+            ivf_centroids, _ = km.train_kmeans(
+                x, self.ivf_partitions, seed=self.seed, sample=self.train_sample
+            )
+            assign, _ = km.assign_partitions(x, ivf_centroids)
+            order = np.argsort(assign, kind="stable")
+            x = x[order]
+            ids = ids[order]
+            ivf_part = assign[order].astype(np.int32)
+            docs = [docs[i] for i in order]
+            payloads = [payloads[i] for i in order]
+
+        # --- quantization ---
+        quant = Q.create(self.quantizer_kind, dim=self.dim, **self.qparams)
+        r = np.random.default_rng(self.seed)
+        sample = x
+        if n > self.train_sample:
+            sample = x[r.choice(n, self.train_sample, replace=False)]
+        quant.train(sample, seed=self.seed)
+        enc = quant.encode(x)
+
+        sections: Dict[str, np.ndarray] = {}
+        # Full-precision vectors always kept for rerank/fetch (the reference
+        # flat segment keeps them too; quantized codes only accelerate scan).
+        sections["vectors"] = x
+        sections["rnorm2"] = (x.astype(np.float64) ** 2).sum(1).astype(np.float32)
+        sections["ids"] = ids
+        for name, arr in enc.items():
+            if self.quantizer_kind != "none" or name not in ("vectors", "rnorm2"):
+                sections[f"enc.{name}"] = arr
+        for name, arr in quant.state()["arrays"].items():
+            if arr is not None:
+                sections[f"q.{name}"] = arr
+        if ivf_centroids is not None:
+            sections["ivf.centroids"] = ivf_centroids
+            sections["ivf.part"] = ivf_part
+
+        md_meta, md_sections = ColumnarMeta.from_docs(docs).to_sections()
+        sections.update(md_sections)
+
+        # payload CSR
+        blob = bytearray()
+        indptr = np.zeros(n + 1, np.int64)
+        for i, p in enumerate(payloads):
+            if p:
+                blob.extend(p)
+            indptr[i + 1] = len(blob)
+        if len(blob):
+            sections["payload.data"] = np.frombuffer(bytes(blob), np.uint8)
+            sections["payload.indptr"] = indptr
+
+        # docs JSON-lines for materialization
+        doc_blob = bytearray()
+        doc_indptr = np.zeros(n + 1, np.int64)
+        any_doc = False
+        for i, d in enumerate(docs):
+            if d is not None:
+                doc_blob.extend(json.dumps(d, separators=(",", ":")).encode())
+                any_doc = True
+            doc_indptr[i + 1] = len(doc_blob)
+        if any_doc:
+            sections["docs.data"] = np.frombuffer(bytes(doc_blob), np.uint8)
+            sections["docs.indptr"] = doc_indptr
+
+        meta = {
+            "kind": SEGMENT_KIND,
+            "dim": self.dim,
+            "metric": self.metric.value,
+            "count": n,
+            "quantizer": {"kind": quant.kind, "params": quant.params()},
+            "ivf": {
+                "partitions": int(self.ivf_partitions) if ivf_centroids is not None else 0
+            },
+            "metadata": md_meta,
+            "stats": segment_stats(x, ColumnarMeta.from_docs(docs)),
+        }
+        return container.pack_container(meta, sections)
+
+
+def segment_stats(x: np.ndarray, cm: ColumnarMeta) -> dict:
+    """Pruning stats stored in the manifest (reference: manifest/stats.go:79-122:
+    vector centroid+radius, numeric min/max/mean/histogram, categorical tops)."""
+    stats: Dict[str, Any] = {"row_count": int(x.shape[0])}
+    if x.shape[0]:
+        centroid = x.mean(0)
+        d = np.linalg.norm(x - centroid[None, :], axis=1)
+        stats["centroid"] = [round(float(v), 6) for v in centroid]
+        stats["radius"] = float(d.max())
+    fields = {}
+    for f, col in cm.numeric.items():
+        vals = col[~np.isnan(col)]
+        if len(vals):
+            hist, edges = np.histogram(vals, bins=16)
+            fields[f] = {
+                "kind": "num",
+                "min": float(vals.min()),
+                "max": float(vals.max()),
+                "mean": float(vals.mean()),
+                "hist": hist.astype(int).tolist(),
+                "edges": [float(e) for e in edges],
+                "present": int(len(vals)),
+            }
+    for f, codes in cm.str_codes.items():
+        present = codes >= 0
+        if present.any():
+            counts = np.bincount(codes[present], minlength=len(cm.str_values[f]))
+            top = np.argsort(counts)[::-1][:16]
+            fields[f] = {
+                "kind": "str",
+                "values": sorted(cm.str_values[f]) if len(cm.str_values[f]) <= 64 else None,
+                "top": [[cm.str_values[f][i], int(counts[i])] for i in top if counts[i] > 0],
+                "present": int(present.sum()),
+                "bloom": _bloom(cm.str_values[f]),
+            }
+    stats["fields"] = fields
+    return stats
+
+
+def _bloom(values: List[str], bits: int = 256, hashes: int = 3) -> str:
+    """Tiny hex bloom filter over categorical values (reference: manifest/bloom.go)."""
+    import hashlib
+
+    bf = np.zeros(bits, bool)
+    for v in values:
+        h = hashlib.md5(str(v).encode()).digest()
+        for i in range(hashes):
+            idx = int.from_bytes(h[i * 4 : i * 4 + 4], "little") % bits
+            bf[idx] = True
+    return np.packbits(bf).tobytes().hex()
+
+
+def bloom_may_contain(bloom_hex: str, value: str, bits: int = 256, hashes: int = 3) -> bool:
+    import hashlib
+
+    bf = np.unpackbits(np.frombuffer(bytes.fromhex(bloom_hex), np.uint8))
+    h = hashlib.md5(str(value).encode()).digest()
+    for i in range(hashes):
+        idx = int.from_bytes(h[i * 4 : i * 4 + 4], "little") % bits
+        if not bf[idx]:
+            return False
+    return True
+
+
+class FlatSegment:
+    """Immutable flat segment: host arrays + lazily-built device state."""
+
+    def __init__(self, meta: dict, sections: Dict[str, np.ndarray], seg_id: int = 0):
+        if meta.get("kind") != SEGMENT_KIND:
+            raise ErrCorrupt(f"not a flat segment: kind={meta.get('kind')!r}")
+        self.meta = meta
+        self.seg_id = seg_id
+        self.dim = int(meta["dim"])
+        self.metric = Metric(meta["metric"])
+        self.n = int(meta["count"])
+        self.ids: np.ndarray = sections["ids"]
+        self.vectors: np.ndarray = sections["vectors"]
+        self.rnorm2: np.ndarray = sections["rnorm2"]
+        qmeta = meta["quantizer"]
+        qarrays = {
+            name[2:]: arr for name, arr in sections.items() if name.startswith("q.")
+        }
+        self.quant = Q.Quantizer.from_state(
+            {"kind": qmeta["kind"], "params": qmeta["params"], "arrays": qarrays}
+        )
+        self.enc_host = {
+            name[4:]: arr for name, arr in sections.items() if name.startswith("enc.")
+        }
+        if qmeta["kind"] == "none":
+            self.enc_host = {"vectors": self.vectors, "rnorm2": self.rnorm2}
+        self.ivf_centroids = sections.get("ivf.centroids")
+        self.ivf_part = sections.get("ivf.part")
+        self.cm = ColumnarMeta.from_sections(meta["metadata"], sections)
+        self._payload_data = sections.get("payload.data")
+        self._payload_indptr = sections.get("payload.indptr")
+        self._docs_data = sections.get("docs.data")
+        self._docs_indptr = sections.get("docs.indptr")
+        self._dev: Optional[dict] = None
+        self._score_fn = None
+        self._rerank_fn = None
+
+    # ---------------- IO ----------------
+
+    @staticmethod
+    def open(data: bytes, seg_id: int = 0, verify_checksum: bool = True) -> "FlatSegment":
+        meta, sections = container.unpack_container(data, verify_checksum)
+        try:
+            return FlatSegment(meta, sections, seg_id)
+        except ErrCorrupt:
+            raise
+        except Exception as e:
+            raise ErrCorrupt(f"flat segment open failed: {e}")
+
+    # ---------------- device ----------------
+
+    def device_state(self) -> dict:
+        import jax.numpy as jnp
+
+        if self._dev is None:
+            dev = {k: jnp.asarray(v) for k, v in self.enc_host.items()}
+            if self.quant.kind != "none":
+                dev["__full"] = jnp.asarray(self.vectors)
+                dev["__full_rnorm2"] = jnp.asarray(self.rnorm2)
+            if self.ivf_part is not None:
+                dev["__ivf_part"] = jnp.asarray(self.ivf_part)
+            self._dev = dev
+        return self._dev
+
+    def release_device(self):
+        self._dev = None
+        self._score_fn = None
+
+    def _scorer(self):
+        """Stable score_fn closure (same object across calls -> jit cache hits)."""
+        if self._score_fn is None:
+            quant = self.quant
+            metric = self.metric
+            has_ivf = self.ivf_part is not None
+
+            def score_fn(q, extra, blk):
+                import jax.numpy as jnp
+
+                enc_blk = {
+                    k: v for k, v in blk.items() if not k.startswith("__")
+                }
+                scores = quant.score(q, enc_blk, metric)
+                if has_ivf and extra is not None and "probes" in extra:
+                    pm = (
+                        blk["__ivf_part"][None, :, None]
+                        == extra["probes"][:, None, :]
+                    ).any(-1)
+                    scores = jnp.where(pm, scores, jnp.inf)
+                return scores
+
+            self._score_fn = score_fn
+        return self._score_fn
+
+    # ---------------- search ----------------
+
+    def search(
+        self,
+        q,  # jnp [B, d] (already normalized upstream for cosine)
+        k: int,
+        mask: Optional[np.ndarray] = None,  # host bool [n] (filters+tombstones)
+        nprobes: int = 0,
+        block_rows: int = 8192,
+    ):
+        """Returns (dists [B,k] f32 device, rows [B,k] i32 device)."""
+        import jax.numpy as jnp
+
+        from vecgo_tpu.ops import topk as topk_ops
+
+        if self.n == 0:
+            b = q.shape[0]
+            return (
+                jnp.full((b, k), jnp.inf, jnp.float32),
+                jnp.full((b, k), -1, jnp.int32),
+            )
+        dev = self.device_state()
+        extra = None
+        if (
+            self.ivf_centroids is not None
+            and nprobes > 0
+            and nprobes < int(self.meta["ivf"]["partitions"])
+        ):
+            from vecgo_tpu.ops import distance as D
+            from vecgo_tpu.ops import topk as T
+
+            cd = D.squared_l2(q, jnp.asarray(self.ivf_centroids))
+            _, probes = T.topk_smallest(cd, nprobes)
+            extra = {"probes": probes.astype(jnp.int32)}
+        dmask = jnp.asarray(mask) if mask is not None else None
+        enc = {k_: v for k_, v in dev.items() if not k_.startswith("__full")}
+        return topk_ops.blockwise_topk_scored(
+            q,
+            enc,
+            self.n,
+            k,
+            self._scorer(),
+            mask=dmask,
+            extra=extra,
+            block_rows=block_rows,
+        )
+
+    def rerank(self, q, rows):
+        """Exact distances for candidate rows [B, C] (reference: Segment.Rerank).
+
+        Gathers full-precision vectors and runs one exact batched matmul.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        dev = self.device_state()
+        full = dev.get("__full", dev.get("vectors"))
+        rn = dev.get("__full_rnorm2", dev.get("rnorm2"))
+        if self._rerank_fn is None:
+            metric = self.metric
+
+            def _rr(q, rows, full, rn):
+                safe = jnp.maximum(rows, 0)
+                v = jnp.take(full, safe, axis=0)  # [B, C, d]
+                qf = q.astype(jnp.float32)
+                if metric == Metric.COSINE:
+                    from vecgo_tpu.ops import distance as D
+
+                    qf = D.normalize(qf)
+                prod = jnp.einsum(
+                    "bcd,bd->bc",
+                    v.astype(jnp.float32),
+                    qf,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                if metric == Metric.L2:
+                    qn = jnp.sum(qf * qf, axis=-1, keepdims=True)
+                    d = qn + jnp.take(rn, safe, axis=0) - 2.0 * prod
+                    d = jnp.maximum(d, 0.0)
+                elif metric == Metric.DOT:
+                    d = -prod
+                else:  # cosine over normalized storage
+                    d = 1.0 - prod
+                return jnp.where(rows >= 0, d, jnp.inf)
+
+            self._rerank_fn = jax.jit(_rr)
+        return self._rerank_fn(q, rows, full, rn)
+
+    # ---------------- host access ----------------
+
+    def filter_mask(self, f) -> np.ndarray:
+        return self.cm.filter_mask(f)
+
+    def payload(self, row: int) -> Optional[bytes]:
+        if self._payload_data is None:
+            return None
+        s, e = self._payload_indptr[row], self._payload_indptr[row + 1]
+        if e <= s:
+            return None
+        return self._payload_data[s:e].tobytes()
+
+    def doc(self, row: int) -> Optional[dict]:
+        if self._docs_data is not None:
+            s, e = self._docs_indptr[row], self._docs_indptr[row + 1]
+            if e > s:
+                return json.loads(self._docs_data[s:e].tobytes())
+            return None
+        return self.cm.doc(row)
+
+    def vector(self, row: int) -> np.ndarray:
+        return self.vectors[row]
+
+    def iterate(self):
+        """Yield (id, vector, doc, payload) for flush/compaction merges."""
+        for row in range(self.n):
+            yield int(self.ids[row]), self.vectors[row], self.doc(row), self.payload(row)

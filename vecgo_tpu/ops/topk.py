@@ -119,6 +119,86 @@ def _blockwise_search_jit(
     return d_fin, i_fin
 
 
+@functools.partial(
+    jax.jit, static_argnames=("score_fn", "k", "block_rows", "n_valid")
+)
+def _blockwise_scored_jit(q, enc, mask, extra, score_fn, k, block_rows, n_valid):
+    """Generic streaming top-k over encoded arrays.
+
+    enc: dict of arrays, each [N_pad, ...] with N_pad % block_rows == 0.
+    score_fn(q, extra, enc_block) -> [B, block_rows] smaller-is-better.
+    mask: [N_pad] bool or None; rows >= n_valid are always excluded.
+    extra: per-call pytree forwarded to score_fn (e.g. IVF probe lists).
+    """
+    sample = next(iter(enc.values()))
+    n_pad = sample.shape[0]
+    nblocks = n_pad // block_rows
+    b = q.shape[0]
+
+    enc_blocks = {k_: v.reshape((nblocks, block_rows) + v.shape[1:]) for k_, v in enc.items()}
+    mb = None if mask is None else mask.reshape(nblocks, block_rows)
+
+    init = (
+        jnp.full((b, k), _INF, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+
+    def body(carry, inputs):
+        if mb is None:
+            bi, blk = inputs
+            blk_mask = None
+        else:
+            bi, blk, blk_mask = inputs
+        scores = score_fn(q, extra, blk)
+        row_ids = bi * block_rows + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_rows), 1
+        )
+        valid = row_ids < n_valid
+        if blk_mask is not None:
+            valid = valid & blk_mask[None, :]
+        scores = jnp.where(valid, scores, _INF)
+        d_loc, i_loc = topk_smallest(scores, min(k, block_rows))
+        carry = merge_topk(
+            carry[0], carry[1], d_loc, (i_loc + bi * block_rows).astype(jnp.int32), k
+        )
+        return carry, None
+
+    block_ids = jnp.arange(nblocks, dtype=jnp.int32)
+    xs = (block_ids, enc_blocks) if mb is None else (block_ids, enc_blocks, mb)
+    (d_fin, i_fin), _ = jax.lax.scan(body, init, xs)
+    i_fin = jnp.where(jnp.isfinite(d_fin), i_fin, -1)
+    return d_fin, i_fin
+
+
+def blockwise_topk_scored(
+    q,
+    enc: dict,
+    n: int,
+    k: int,
+    score_fn,
+    *,
+    mask=None,
+    extra=None,
+    block_rows: int = 8192,
+):
+    """Pad-and-run wrapper around _blockwise_scored_jit.
+
+    IMPORTANT for jit-cache hits: pass the *same* score_fn object across calls
+    (segments cache their scoring closures).
+    """
+    block_rows = max(128, min(block_rows, n))
+    pad = (-n) % block_rows
+    if pad:
+        enc = {
+            k_: jnp.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1)) for k_, v in enc.items()
+        }
+        if mask is not None:
+            mask = jnp.pad(mask, (0, pad))
+    return _blockwise_scored_jit(
+        q, enc, mask, extra, score_fn, k, block_rows, n
+    )
+
+
 def blockwise_topk_search(
     q: jax.Array,
     x: jax.Array,

@@ -1,0 +1,140 @@
+"""Segment container format: named ndarray sections + JSON meta + CRC32.
+
+Reference analogue: the DiskANN/Flat segment file layouts (diskann/format.go:18-50
+512-B header with section offsets; flat/format.go) and CRC32C integrity
+(internal/hash/crc32c.go, format.go:85-119). Our layout:
+
+    magic "VGT1" | u32 flags | u64 header_len | header JSON | padding | sections
+
+header JSON: {"meta": {...}, "sections": [{name, dtype, shape, offset, nbytes,
+crc32}]}. Sections are 64-byte aligned raw little-endian ndarray bytes, each
+integrity-checked with CRC32 (zlib, C-speed on host). Adversarial bytes must
+never crash the reader (reference: engine/fuzz_test.go FuzzFlatSegmentOpen) —
+all decode errors raise ErrCorrupt.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from vecgo_tpu.errors import ErrCorrupt
+
+MAGIC = b"VGT1"
+_ALIGN = 64
+_MAX_HEADER = 1 << 30
+
+
+def pack_container(meta: dict, sections: Dict[str, np.ndarray]) -> bytes:
+    """Serialize meta + sections to container bytes."""
+    entries = []
+    blobs = []
+    # Compute layout in two passes: header size depends on offsets, offsets on
+    # header size. Serialize entries with placeholder offsets first to get a
+    # stable header length (offsets rendered fixed-width).
+    names = sorted(sections)
+    arrs = {}
+    for name in names:
+        a = np.ascontiguousarray(sections[name])
+        if a.dtype.byteorder == ">":
+            a = a.astype(a.dtype.newbyteorder("<"))
+        arrs[name] = a
+        entries.append(
+            {
+                "name": name,
+                "dtype": a.dtype.str,
+                "shape": list(a.shape),
+                "offset": 0,
+                "nbytes": int(a.nbytes),
+                "crc32": zlib.crc32(a.tobytes()) & 0xFFFFFFFF,
+            }
+        )
+
+    def render(entries):
+        return json.dumps({"meta": meta, "sections": entries}).encode()
+
+    header = render(entries)
+    base = 16 + len(header)
+    # Offsets change header length (digit count); iterate to fixed point.
+    for _ in range(8):
+        off = _align(base)
+        for e in entries:
+            e["offset"] = off
+            off = _align(off + e["nbytes"])
+        new_header = render(entries)
+        if len(new_header) == len(header):
+            header = new_header
+            break
+        header = new_header
+        base = 16 + len(header)
+    else:
+        raise RuntimeError("container header failed to converge")
+
+    out = io.BytesIO()
+    out.write(MAGIC)
+    out.write(struct.pack("<IQ", 0, len(header)))
+    out.write(header)
+    for name, e in zip(names, entries):
+        pos = out.tell()
+        out.write(b"\0" * (e["offset"] - pos))
+        out.write(arrs[name].tobytes())
+    return out.getvalue()
+
+
+def _align(x: int) -> int:
+    return (x + _ALIGN - 1) // _ALIGN * _ALIGN
+
+
+def parse_header(data: bytes) -> Tuple[dict, list]:
+    if len(data) < 16 or data[:4] != MAGIC:
+        raise ErrCorrupt("bad magic")
+    try:
+        _, hlen = struct.unpack("<IQ", data[4:16])
+    except struct.error as e:
+        raise ErrCorrupt(f"bad fixed header: {e}")
+    if hlen > _MAX_HEADER or 16 + hlen > len(data):
+        raise ErrCorrupt("header length out of range")
+    try:
+        header = json.loads(data[16 : 16 + hlen])
+        meta = header["meta"]
+        entries = header["sections"]
+        assert isinstance(entries, list)
+    except Exception as e:
+        raise ErrCorrupt(f"bad header json: {e}")
+    return meta, entries
+
+
+def unpack_container(
+    data: bytes, verify_checksum: bool = True, only: Optional[set] = None
+) -> Tuple[dict, Dict[str, np.ndarray]]:
+    """Parse container bytes -> (meta, {name: ndarray}). Never panics: raises
+    ErrCorrupt on malformed input."""
+    meta, entries = parse_header(data)
+    sections = {}
+    for e in entries:
+        try:
+            name = e["name"]
+            if only is not None and name not in only:
+                continue
+            off, nbytes = int(e["offset"]), int(e["nbytes"])
+            if off < 0 or nbytes < 0 or off + nbytes > len(data):
+                raise ErrCorrupt(f"section {name} out of range")
+            raw = data[off : off + nbytes]
+            if verify_checksum and (zlib.crc32(raw) & 0xFFFFFFFF) != e["crc32"]:
+                raise ErrCorrupt(f"section {name} checksum mismatch")
+            dtype = np.dtype(e["dtype"])
+            shape = tuple(int(s) for s in e["shape"])
+            expect = int(np.prod(shape, dtype=np.int64)) * dtype.itemsize if shape else dtype.itemsize
+            if any(s < 0 for s in shape) or expect != nbytes:
+                raise ErrCorrupt(f"section {name} shape/nbytes mismatch")
+            sections[name] = np.frombuffer(raw, dtype=dtype).reshape(shape).copy()
+        except ErrCorrupt:
+            raise
+        except Exception as ex:
+            raise ErrCorrupt(f"section decode failed: {ex}")
+    return meta, sections
