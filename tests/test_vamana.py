@@ -1,0 +1,102 @@
+"""Vamana graph build + beam search recall tests
+(reference: hnsw recall tests, diskann writer/segment tests, SURVEY.md §4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vecgo_tpu.index.vamana import VamanaWriter, VamanaSegment, build_graph
+from vecgo_tpu.metadata import eq
+from vecgo_tpu.model import Metric
+from vecgo_tpu.utils import testutil as tu
+
+N, D, K = 5000, 32, 10
+
+
+@pytest.fixture(scope="module")
+def built():
+    x = tu.gaussian_vectors(N, D, seed=31)
+    w = VamanaWriter(D, Metric.L2, r=24, l_build=48)
+    for i in range(N):
+        w.add(x[i], i, {"cat": f"c{i % 4}"})
+    seg = VamanaSegment.open(w.finish())
+    return x, seg
+
+
+def test_graph_shape_and_degree(built):
+    x, seg = built
+    assert seg.graph.shape == (N, 24)
+    st = seg.graph_stats()
+    assert st["avg_degree"] > 4  # pruned graphs keep healthy out-degree
+    assert (seg.graph < N).all() and (seg.graph >= -1).all()
+    # no self loops
+    self_loop = (seg.graph == np.arange(N)[:, None]).any()
+    assert not self_loop
+
+
+def test_beam_search_recall(built):
+    x, seg = built
+    q = tu.gaussian_vectors(32, D, seed=32)
+    _, true_ids = tu.brute_force_knn(q, x, K, "l2")
+    d, rows = seg.search(jnp.asarray(q), K, ef=96)
+    rec = tu.recall_at_k(np.asarray(rows), true_ids)
+    assert rec >= 0.90, f"beam search recall {rec}"
+    # Rerank pool improves it further
+    d2, rows2 = seg.search(jnp.asarray(q), 3 * K, ef=96)
+    rd = seg.rerank(jnp.asarray(q), rows2)
+    order = np.argsort(np.asarray(rd), 1)[:, :K]
+    final = np.take_along_axis(np.asarray(rows2), order, 1)
+    rec2 = tu.recall_at_k(final, true_ids)
+    assert rec2 >= rec - 1e-9
+
+
+def test_filtered_beam_search(built):
+    x, seg = built
+    q = tu.gaussian_vectors(8, D, seed=33)
+    mask = seg.filter_mask(eq("cat", "c1"))
+    assert mask.sum() == N // 4
+    d, rows = seg.search(jnp.asarray(q), K, mask=mask, ef=128)
+    rows = np.asarray(rows)
+    assert (rows >= 0).all()
+    assert mask[rows].all()
+    eligible = np.flatnonzero(mask)
+    _, ti = tu.brute_force_knn(q, x[eligible], K, "l2")
+    rec = tu.recall_at_k(rows, eligible[ti])
+    assert rec >= 0.6, f"filtered recall {rec}"
+
+
+def test_ef_improves_recall(built):
+    x, seg = built
+    q = tu.gaussian_vectors(32, D, seed=34)
+    _, true_ids = tu.brute_force_knn(q, x, K, "l2")
+    rec_lo = tu.recall_at_k(np.asarray(seg.search(jnp.asarray(q), K, ef=16)[1]), true_ids)
+    rec_hi = tu.recall_at_k(np.asarray(seg.search(jnp.asarray(q), K, ef=128)[1]), true_ids)
+    assert rec_hi >= rec_lo
+    assert rec_hi >= 0.9
+
+
+def test_tiny_graph():
+    x = tu.gaussian_vectors(5, 8, seed=35)
+    g, medoid = build_graph(x, r=8)
+    assert g.shape == (5, 8)
+    w = VamanaWriter(8, r=8)
+    for i in range(5):
+        w.add(x[i], i)
+    seg = VamanaSegment.open(w.finish())
+    d, rows = seg.search(jnp.asarray(x[:2]), 3)
+    assert np.asarray(rows)[0, 0] == 0  # self is nearest
+    assert np.asarray(rows)[1, 0] == 1
+
+
+def test_cosine_vamana():
+    x = tu.gaussian_vectors(2000, 16, seed=36)
+    w = VamanaWriter(16, Metric.COSINE, r=16, l_build=32)
+    for i in range(2000):
+        w.add(x[i], i)
+    seg = VamanaSegment.open(w.finish())
+    q = tu.gaussian_vectors(8, 16, seed=37)
+    from vecgo_tpu.ops.distance import normalize
+
+    d, rows = seg.search(normalize(jnp.asarray(q)), K, ef=64)
+    _, true_ids = tu.brute_force_knn(q, x, K, "cosine")
+    assert tu.recall_at_k(np.asarray(rows), true_ids) >= 0.85

@@ -20,7 +20,8 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
-from vecgo_tpu.errors import ErrCorrupt, ErrDimensionMismatch
+from vecgo_tpu.errors import ErrCorrupt
+from vecgo_tpu.index import common
 from vecgo_tpu.metadata.columnar import ColumnarMeta
 from vecgo_tpu.model import Metric
 from vecgo_tpu.storage import container
@@ -52,49 +53,21 @@ class FlatWriter:
         self.ivf_partitions = ivf_partitions
         self.train_sample = train_sample
         self.seed = seed
-        self._vectors: List[np.ndarray] = []
-        self._ids: List[int] = []
-        self._docs: List[Optional[dict]] = []
-        self._payloads: List[Optional[bytes]] = []
+        self._rows = common.RowBuffer(dim)
 
     def add(self, vector, id: int, metadata=None, payload: Optional[bytes] = None):
-        v = np.asarray(vector, np.float32).reshape(-1)
-        if v.shape[0] != self.dim:
-            raise ErrDimensionMismatch(f"got {v.shape[0]}, want {self.dim}")
-        self._vectors.append(v)
-        self._ids.append(int(id))
-        self._docs.append(metadata)
-        self._payloads.append(payload)
+        self._rows.add(vector, id, metadata, payload)
 
     def add_batch(self, vectors, ids, metadatas=None, payloads=None):
-        vectors = np.asarray(vectors, np.float32)
-        for i in range(vectors.shape[0]):
-            self.add(
-                vectors[i],
-                ids[i],
-                metadatas[i] if metadatas is not None else None,
-                payloads[i] if payloads is not None else None,
-            )
+        self._rows.add_batch(vectors, ids, metadatas, payloads)
 
     @property
     def row_count(self) -> int:
-        return len(self._ids)
+        return len(self._rows)
 
     def finish(self) -> bytes:
         """Build the immutable segment; returns container bytes."""
-        n = len(self._ids)
-        x = (
-            np.stack(self._vectors)
-            if n
-            else np.zeros((0, self.dim), np.float32)
-        )
-        ids = np.asarray(self._ids, np.uint64)
-        docs = self._docs
-        payloads = self._payloads
-
-        if self.metric == Metric.COSINE and n:
-            norms = np.linalg.norm(x, axis=1, keepdims=True)
-            x = x / np.maximum(norms, 1e-30)
+        n = len(self._rows)
 
         # --- IVF partitioning: reorder rows by nearest centroid ---
         ivf_centroids = None
@@ -102,68 +75,36 @@ class FlatWriter:
         if self.ivf_partitions > 1 and n > self.ivf_partitions:
             from vecgo_tpu.quantization import kmeans as km
 
+            x, _ = self._rows.stacked(self.metric)
             ivf_centroids, _ = km.train_kmeans(
                 x, self.ivf_partitions, seed=self.seed, sample=self.train_sample
             )
             assign, _ = km.assign_partitions(x, ivf_centroids)
             order = np.argsort(assign, kind="stable")
-            x = x[order]
-            ids = ids[order]
+            self._rows.reorder(order)
             ivf_part = assign[order].astype(np.int32)
-            docs = [docs[i] for i in order]
-            payloads = [payloads[i] for i in order]
 
-        # --- quantization ---
+        x, ids = self._rows.stacked(self.metric)
+        sections, md_meta, cm = common.row_sections(
+            x, ids, self._rows.docs, self._rows.payloads
+        )
+
+        # --- quantization (full-precision vectors always kept for rerank) ---
         quant = Q.create(self.quantizer_kind, dim=self.dim, **self.qparams)
         r = np.random.default_rng(self.seed)
         sample = x
         if n > self.train_sample:
             sample = x[r.choice(n, self.train_sample, replace=False)]
         quant.train(sample, seed=self.seed)
-        enc = quant.encode(x)
-
-        sections: Dict[str, np.ndarray] = {}
-        # Full-precision vectors always kept for rerank/fetch (the reference
-        # flat segment keeps them too; quantized codes only accelerate scan).
-        sections["vectors"] = x
-        sections["rnorm2"] = (x.astype(np.float64) ** 2).sum(1).astype(np.float32)
-        sections["ids"] = ids
-        for name, arr in enc.items():
-            if self.quantizer_kind != "none" or name not in ("vectors", "rnorm2"):
+        if self.quantizer_kind != "none":
+            for name, arr in quant.encode(x).items():
                 sections[f"enc.{name}"] = arr
-        for name, arr in quant.state()["arrays"].items():
-            if arr is not None:
-                sections[f"q.{name}"] = arr
+            for name, arr in quant.state()["arrays"].items():
+                if arr is not None:
+                    sections[f"q.{name}"] = arr
         if ivf_centroids is not None:
             sections["ivf.centroids"] = ivf_centroids
             sections["ivf.part"] = ivf_part
-
-        md_meta, md_sections = ColumnarMeta.from_docs(docs).to_sections()
-        sections.update(md_sections)
-
-        # payload CSR
-        blob = bytearray()
-        indptr = np.zeros(n + 1, np.int64)
-        for i, p in enumerate(payloads):
-            if p:
-                blob.extend(p)
-            indptr[i + 1] = len(blob)
-        if len(blob):
-            sections["payload.data"] = np.frombuffer(bytes(blob), np.uint8)
-            sections["payload.indptr"] = indptr
-
-        # docs JSON-lines for materialization
-        doc_blob = bytearray()
-        doc_indptr = np.zeros(n + 1, np.int64)
-        any_doc = False
-        for i, d in enumerate(docs):
-            if d is not None:
-                doc_blob.extend(json.dumps(d, separators=(",", ":")).encode())
-                any_doc = True
-            doc_indptr[i + 1] = len(doc_blob)
-        if any_doc:
-            sections["docs.data"] = np.frombuffer(bytes(doc_blob), np.uint8)
-            sections["docs.indptr"] = doc_indptr
 
         meta = {
             "kind": SEGMENT_KIND,
@@ -175,7 +116,7 @@ class FlatWriter:
                 "partitions": int(self.ivf_partitions) if ivf_centroids is not None else 0
             },
             "metadata": md_meta,
-            "stats": segment_stats(x, ColumnarMeta.from_docs(docs)),
+            "stats": segment_stats(x, cm),
         }
         return container.pack_container(meta, sections)
 

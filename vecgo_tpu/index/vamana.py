@@ -1,0 +1,425 @@
+"""Vamana graph segment: batched device build + lockstep beam search.
+
+Reference: internal/segment/diskann — writer.go (Vamana build: R=64 L=100
+alpha=1.2, random init, two passes alpha=1 then alpha :433-435, greedySearch
+:472, RobustPrune :571-625, back-edges :627), segment.go (beam search :503-708),
+format.go (the on-disk graph is already a dense padded [N, R] table :36 — we
+keep exactly that layout, in HBM).
+
+TPU-first build (SURVEY.md §7.2 stage 4, §7.3): instead of per-point sequential
+insertion, the graph is built in batched rounds:
+
+  1. random R-regular init,
+  2. per block of C points: lockstep beam search (ops/beam.py) for candidates,
+     vectorized RobustPrune, functional row update of the device graph,
+  3. after each pass: bulk reverse-edge pass — every edge u->v contributes u as
+     a candidate of v; all N nodes re-pruned blockwise on device.
+
+Two passes (alpha=1, then alpha) mirror the reference. HNSW's role is covered
+by this same structure: a single-layer graph with a medoid entry point
+(SURVEY.md §7.2 stage 4 rationale).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, Optional
+
+import numpy as np
+
+from vecgo_tpu.errors import ErrCorrupt
+from vecgo_tpu.index import common
+from vecgo_tpu.index.flat import segment_stats
+from vecgo_tpu.metadata.columnar import ColumnarMeta
+from vecgo_tpu.model import Metric
+from vecgo_tpu.storage import container
+from vecgo_tpu import quantization as Q
+
+SEGMENT_KIND = "vamana"
+
+DEFAULT_R = 32
+DEFAULT_L_BUILD = 64
+DEFAULT_ALPHA = 1.2
+
+
+def build_graph(
+    x: np.ndarray,
+    r: int = DEFAULT_R,
+    l_build: int = DEFAULT_L_BUILD,
+    alpha: float = DEFAULT_ALPHA,
+    block: int = 4096,
+    seed: int = 42,
+    beam_width: int = 4,
+    passes: int = 2,
+):
+    """Build a Vamana graph over x [N, d]. Returns (graph [N, r] int32, medoid)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vecgo_tpu.ops import beam as beam_ops
+
+    n, d = x.shape
+    rng = np.random.default_rng(seed)
+    if n == 0:
+        return np.zeros((0, r), np.int32), 0
+    if n <= r + 1:
+        # Tiny graph: fully connected.
+        g = np.full((n, r), -1, np.int32)
+        for i in range(n):
+            others = [j for j in range(n) if j != i]
+            g[i, : len(others)] = others
+        centroid = x.mean(0)
+        medoid = int(((x - centroid) ** 2).sum(1).argmin())
+        return g, medoid
+
+    # Random init (reference writer.go:433 random init before passes).
+    g_init = rng.integers(0, n, size=(n, r), dtype=np.int64).astype(np.int32)
+    g_init[g_init == np.arange(n, dtype=np.int32)[:, None]] = -1
+
+    centroid = x.mean(0)
+    medoid = int(((x - centroid) ** 2).sum(1).argmin())
+
+    vectors = jnp.asarray(x, jnp.float32)
+    rnorm2 = jnp.sum(vectors * vectors, axis=1)
+    graph = jnp.asarray(g_init)
+    entry = jnp.asarray([medoid], jnp.int32)
+
+    update = jax.jit(
+        lambda g, rows, vals: g.at[rows].set(vals), donate_argnums=(0,)
+    )
+
+    n_pad = (-n) % block
+    alphas = [1.0] * (passes - 1) + [alpha] if passes > 1 else [alpha]
+    for a in alphas:
+        # --- forward pass: blockwise search + prune ---
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            blk_rows = np.arange(s, e, dtype=np.int32)
+            if e - s < block:  # pad to static shape
+                blk_rows = np.concatenate(
+                    [blk_rows, np.full(block - (e - s), s, np.int32)]
+                )
+            rows_dev = jnp.asarray(blk_rows)
+            q_blk = jnp.take(vectors, rows_dev, axis=0)
+            _, _, cand_d, cand_ids = beam_ops.beam_search(
+                q_blk,
+                vectors,
+                rnorm2,
+                graph,
+                entry,
+                ef=l_build,
+                k=1,
+                beam_width=beam_width,
+                with_visited=True,
+            )
+            cur = jnp.take(graph, rows_dev, axis=0)
+            cand_all = jnp.concatenate([cand_ids, cur], axis=1)
+            new_nbrs = beam_ops.robust_prune(
+                rows_dev,
+                q_blk,
+                cand_all,
+                vectors,
+                rnorm2,
+                r_out=r,
+                alpha=a,
+            )
+            if e - s < block:
+                # Don't clobber row `s` with a padded duplicate: re-set real rows only.
+                new_nbrs = new_nbrs[: e - s]
+                rows_dev = rows_dev[: e - s]
+            graph = update(graph, rows_dev, new_nbrs)
+
+        # --- reverse-edge pass (reference back-edges + re-prune :627) ---
+        g_host = np.asarray(graph)
+        rev = _reverse_candidates(g_host, r, rng)
+        rev_dev = jnp.asarray(rev)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            blk_rows = np.arange(s, e, dtype=np.int32)
+            if e - s < block:
+                blk_rows = np.concatenate(
+                    [blk_rows, np.full(block - (e - s), s, np.int32)]
+                )
+            rows_dev = jnp.asarray(blk_rows)
+            cand_all = jnp.concatenate(
+                [jnp.take(graph, rows_dev, axis=0), jnp.take(rev_dev, rows_dev, axis=0)],
+                axis=1,
+            )
+            new_nbrs = beam_ops.robust_prune(
+                rows_dev,
+                jnp.take(vectors, rows_dev, axis=0),
+                cand_all,
+                vectors,
+                rnorm2,
+                r_out=r,
+                alpha=a,
+            )
+            if e - s < block:
+                new_nbrs = new_nbrs[: e - s]
+                rows_dev = rows_dev[: e - s]
+            graph = update(graph, rows_dev, new_nbrs)
+
+    return np.asarray(graph), medoid
+
+
+def _reverse_candidates(g: np.ndarray, cap: int, rng) -> np.ndarray:
+    """For each node v, up to `cap` nodes u with an edge u->v ([N, cap] int32)."""
+    n, r = g.shape
+    src = np.repeat(np.arange(n, dtype=np.int64), r)
+    dst = g.reshape(-1).astype(np.int64)
+    keep = dst >= 0
+    src, dst = src[keep], dst[keep]
+    # Shuffle so truncation keeps a random sample of in-edges.
+    perm = rng.permutation(len(src))
+    src, dst = src[perm], dst[perm]
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+    out = np.full((n, cap), -1, np.int32)
+    starts = np.searchsorted(dst, np.arange(n))
+    ends = np.searchsorted(dst, np.arange(n) + 1)
+    take = np.minimum(ends - starts, cap)
+    # Vectorized ragged fill.
+    rows = np.repeat(np.arange(n), take)
+    if len(rows):
+        offs = np.concatenate([np.arange(t) for t in take if t > 0])
+        out[rows, offs] = src[
+            np.repeat(starts, take) + offs
+        ]
+    return out
+
+
+class VamanaWriter:
+    """Builds an immutable vamana segment (reference: diskann.NewWriter:97)."""
+
+    def __init__(
+        self,
+        dim: int,
+        metric: Metric = Metric.L2,
+        r: int = DEFAULT_R,
+        l_build: int = DEFAULT_L_BUILD,
+        alpha: float = DEFAULT_ALPHA,
+        quantizer: str = "none",
+        qparams: Optional[dict] = None,
+        seed: int = 42,
+    ):
+        self.dim = dim
+        self.metric = metric
+        self.r = r
+        self.l_build = l_build
+        self.alpha = alpha
+        self.quantizer_kind = quantizer
+        self.qparams = dict(qparams or {})
+        self.seed = seed
+        self._rows = common.RowBuffer(dim)
+
+    def add(self, vector, id: int, metadata=None, payload: Optional[bytes] = None):
+        self._rows.add(vector, id, metadata, payload)
+
+    def add_batch(self, vectors, ids, metadatas=None, payloads=None):
+        self._rows.add_batch(vectors, ids, metadatas, payloads)
+
+    @property
+    def row_count(self) -> int:
+        return len(self._rows)
+
+    def finish(self) -> bytes:
+        n = len(self._rows)
+        x, ids = self._rows.stacked(self.metric)
+        graph, medoid = build_graph(
+            x, r=self.r, l_build=self.l_build, alpha=self.alpha, seed=self.seed
+        )
+        sections, md_meta, cm = common.row_sections(
+            x, ids, self._rows.docs, self._rows.payloads
+        )
+        sections["graph"] = graph
+
+        quant = Q.create(self.quantizer_kind, dim=self.dim, **self.qparams)
+        if self.quantizer_kind != "none" and n:
+            quant.train(x if n <= 65536 else x[:: max(1, n // 65536)], seed=self.seed)
+            for name, arr in quant.encode(x).items():
+                sections[f"enc.{name}"] = arr
+            for name, arr in quant.state()["arrays"].items():
+                if arr is not None:
+                    sections[f"q.{name}"] = arr
+
+        meta = {
+            "kind": SEGMENT_KIND,
+            "dim": self.dim,
+            "metric": self.metric.value,
+            "count": n,
+            "medoid": medoid,
+            "r": self.r,
+            "l_build": self.l_build,
+            "alpha": self.alpha,
+            "quantizer": {"kind": quant.kind, "params": quant.params()},
+            "metadata": md_meta,
+            "stats": segment_stats(x, cm),
+        }
+        return container.pack_container(meta, sections)
+
+
+class VamanaSegment:
+    """Immutable graph segment (reference: diskann.Segment, segment.go:92)."""
+
+    DEFAULT_EF_SEARCH = 64
+
+    def __init__(self, meta: dict, sections: Dict[str, np.ndarray], seg_id: int = 0):
+        if meta.get("kind") != SEGMENT_KIND:
+            raise ErrCorrupt(f"not a vamana segment: kind={meta.get('kind')!r}")
+        self.meta = meta
+        self.seg_id = seg_id
+        self.dim = int(meta["dim"])
+        self.metric = Metric(meta["metric"])
+        self.n = int(meta["count"])
+        self.medoid = int(meta["medoid"])
+        self.r = int(meta["r"])
+        self.ids: np.ndarray = sections["ids"]
+        self.vectors: np.ndarray = sections["vectors"]
+        self.rnorm2: np.ndarray = sections["rnorm2"]
+        self.graph: np.ndarray = sections["graph"]
+        self.cm = ColumnarMeta.from_sections(meta["metadata"], sections)
+        self._payload_data = sections.get("payload.data")
+        self._payload_indptr = sections.get("payload.indptr")
+        self._docs_data = sections.get("docs.data")
+        self._docs_indptr = sections.get("docs.indptr")
+        self._dev = None
+        self._rerank_fn = None
+
+    @staticmethod
+    def open(data: bytes, seg_id: int = 0, verify_checksum: bool = True) -> "VamanaSegment":
+        meta, sections = container.unpack_container(data, verify_checksum)
+        try:
+            return VamanaSegment(meta, sections, seg_id)
+        except ErrCorrupt:
+            raise
+        except Exception as e:
+            raise ErrCorrupt(f"vamana segment open failed: {e}")
+
+    def device_state(self):
+        import jax.numpy as jnp
+
+        if self._dev is None:
+            self._dev = {
+                # bf16 traversal copy (halves HBM traffic on gathers); exact
+                # rerank uses the f32 copy.
+                "trav": jnp.asarray(self.vectors, jnp.bfloat16),
+                "rnorm2": jnp.asarray(self.rnorm2),
+                "graph": jnp.asarray(self.graph),
+                "full": jnp.asarray(self.vectors),
+                "entry": jnp.asarray([self.medoid], jnp.int32),
+            }
+        return self._dev
+
+    def release_device(self):
+        self._dev = None
+
+    def search(
+        self,
+        q,  # jnp [B, d] (normalized upstream for cosine)
+        k: int,
+        mask: Optional[np.ndarray] = None,
+        ef: int = 0,
+        beam_width: int = 4,
+    ):
+        """Returns (dists [B,k], rows [B,k]) — beam search + exact rerank.
+
+        Note: beam search returns bf16-precision distances; callers should
+        rerank (Segment.rerank) for exact scores. For DOT/COSINE the graph was
+        built on L2 geometry over (normalized) vectors — standard practice; for
+        normalized vectors L2 and cosine orders agree. DOT queries search with
+        L2 traversal then rerank by the true metric over a widened pool.
+        """
+        import jax.numpy as jnp
+
+        from vecgo_tpu.ops import beam as beam_ops
+
+        b = q.shape[0]
+        if self.n == 0:
+            return (
+                jnp.full((b, k), jnp.inf, jnp.float32),
+                jnp.full((b, k), -1, jnp.int32),
+            )
+        ef = ef or max(self.DEFAULT_EF_SEARCH, k)
+        ef = max(ef, k)
+        dev = self.device_state()
+        dmask = jnp.asarray(mask) if mask is not None else None
+        res_d, res_i = beam_ops.beam_search(
+            q,
+            dev["trav"],
+            dev["rnorm2"],
+            dev["graph"],
+            dev["entry"],
+            ef=ef,
+            k=k,
+            beam_width=beam_width,
+            mask=dmask,
+        )
+        return res_d, res_i
+
+    def rerank(self, q, rows):
+        """Exact full-precision distances for candidate rows [B, C]."""
+        import jax
+        import jax.numpy as jnp
+
+        dev = self.device_state()
+        if self._rerank_fn is None:
+            metric = self.metric
+
+            def _rr(q, rows, full, rn):
+                safe = jnp.maximum(rows, 0)
+                v = jnp.take(full, safe, axis=0)
+                qf = q.astype(jnp.float32)
+                if metric == Metric.COSINE:
+                    from vecgo_tpu.ops import distance as D
+
+                    qf = D.normalize(qf)
+                prod = jnp.einsum(
+                    "bcd,bd->bc", v, qf, precision=jax.lax.Precision.HIGHEST
+                )
+                if metric == Metric.L2:
+                    d = jnp.maximum(
+                        jnp.sum(qf * qf, -1, keepdims=True)
+                        + jnp.take(rn, safe)
+                        - 2.0 * prod,
+                        0.0,
+                    )
+                elif metric == Metric.DOT:
+                    d = -prod
+                else:
+                    d = 1.0 - prod
+                return jnp.where(rows >= 0, d, jnp.inf)
+
+            self._rerank_fn = jax.jit(_rr)
+        return self._rerank_fn(q, rows, dev["full"], dev["rnorm2"])
+
+    # ---- host access (same contract as FlatSegment) ----
+
+    def filter_mask(self, f) -> np.ndarray:
+        return self.cm.filter_mask(f)
+
+    def payload(self, row: int) -> Optional[bytes]:
+        return common.csr_lookup(self._payload_data, self._payload_indptr, row)
+
+    def doc(self, row: int) -> Optional[dict]:
+        if self._docs_data is not None:
+            raw = common.csr_lookup(self._docs_data, self._docs_indptr, row)
+            return json.loads(raw) if raw else None
+        return self.cm.doc(row)
+
+    def vector(self, row: int) -> np.ndarray:
+        return self.vectors[row]
+
+    def iterate(self):
+        for row in range(self.n):
+            yield int(self.ids[row]), self.vectors[row], self.doc(row), self.payload(row)
+
+    def graph_stats(self) -> dict:
+        """Degree/connectivity stats (reference: hnsw.Stats, stats.go:10)."""
+        deg = (self.graph >= 0).sum(1)
+        return {
+            "nodes": self.n,
+            "avg_degree": float(deg.mean()) if self.n else 0.0,
+            "min_degree": int(deg.min()) if self.n else 0,
+            "max_degree": int(deg.max()) if self.n else 0,
+            "medoid": self.medoid,
+        }
