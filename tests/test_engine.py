@@ -1,0 +1,314 @@
+"""Engine lifecycle tests (reference: internal/engine/*_test.go +
+integration_test/ — CRUD, flush/compaction, isolation, time travel, recovery)."""
+
+import numpy as np
+import pytest
+
+from vecgo_tpu.blobstore import MemoryStore, FaultyStore
+from vecgo_tpu.engine import Engine, EngineOptions
+from vecgo_tpu.errors import ErrConflict, ErrNotFound, ErrReadOnly, ErrInvalidVector
+from vecgo_tpu.metadata import eq, gt, Schema, FieldSpec, FieldType
+from vecgo_tpu.model import Metric
+from vecgo_tpu.utils import testutil as tu
+
+D = 16
+
+
+def new_engine(store=None, **kw):
+    kw.setdefault("dim", D)
+    kw.setdefault("flush_threshold", 10_000_000)  # manual commits in tests
+    kw.setdefault("graph_threshold", 1_000_000_000)
+    return Engine.open(store or MemoryStore(), EngineOptions(**kw), create=True)
+
+
+def test_insert_search_roundtrip():
+    eng = new_engine()
+    x = tu.gaussian_vectors(500, D, seed=41)
+    ids = eng.insert_batch(x, [{"i": i} for i in range(500)])
+    assert len(set(ids)) == 500
+    res = eng.search(x[7], k=5)
+    assert res[0].id == ids[7]
+    assert res[0].distance < 1e-5
+    assert res[0].metadata == {"i": 7}
+    _, true_ids = tu.brute_force_knn(x[7:8], x, 5, "l2")
+    got = [c.id for c in res]
+    assert got == [ids[j] for j in true_ids[0]]
+
+
+def test_crud_lifecycle():
+    """reference: integration_test/crud_lifecycle_test.go"""
+    eng = new_engine()
+    x = tu.gaussian_vectors(100, D, seed=42)
+    ids = eng.insert_batch(x)
+    # get
+    c = eng.get(ids[3])
+    np.testing.assert_allclose(c.vector, x[3], rtol=1e-6)
+    # update (same id): new unique vector wins
+    upd = x[50] * 0.5 + 7.0
+    eng.insert_batch(upd[None, :], ids=[ids[3]])
+    res = eng.search(upd, k=1)
+    assert res[0].id == ids[3]
+    # the old version must not match anymore
+    res = eng.search(x[3], k=100)
+    assert sum(1 for cc in res if cc.id == ids[3]) <= 1
+    # delete
+    assert eng.delete(ids[3])
+    assert not eng.delete(ids[3])
+    with pytest.raises(ErrNotFound):
+        eng.get(ids[3])
+    res = eng.search(x[50], k=10)
+    assert all(cc.id != ids[3] for cc in res)
+
+
+def test_commit_and_search_segments():
+    eng = new_engine()
+    x = tu.gaussian_vectors(300, D, seed=43)
+    ids = eng.insert_batch(x[:200])
+    v1 = eng.commit()
+    assert v1 == 1
+    assert eng.stats()["memtable_rows"] == 0
+    assert eng.stats()["segment_rows"] == 200
+    ids2 = eng.insert_batch(x[200:])
+    # mixed memtable+segment search
+    q = x[250]
+    res = eng.search(q, k=3)
+    assert res[0].id == ids2[50]
+    q2 = x[10]
+    res2 = eng.search(q2, k=3)
+    assert res2[0].id == ids[10]
+    # exact full equivalence
+    _, ti = tu.brute_force_knn(x[:8], x, 10, "l2")
+    all_ids = ids + ids2
+    for bi, r in enumerate(eng.search_batch(x[:8], k=10)):
+        assert [c.id for c in r] == [all_ids[j] for j in ti[bi]]
+
+
+def test_delete_across_commit_and_compaction():
+    eng = new_engine(compaction_threshold=2)
+    x = tu.gaussian_vectors(200, D, seed=44)
+    ids = eng.insert_batch(x[:100])
+    eng.commit()
+    eng.delete(ids[0])
+    eng.insert_batch(x[100:])
+    eng.commit()
+    res = eng.search(x[0], k=5)
+    assert all(c.id != ids[0] for c in res)
+    # force compaction of everything
+    ver = eng.compact([h.seg_id for h in eng._segments])
+    assert ver is not None
+    assert len(eng._segments) == 1
+    res = eng.search(x[0], k=5)
+    assert all(c.id != ids[0] for c in res)
+    # tombstoned row physically dropped
+    assert eng._segments[0].segment.n == 199
+
+
+def test_filtering_equivalence():
+    """pre-filter vs post-filter produce identical results
+    (reference: filtering_equivalence_test.go)"""
+    eng = new_engine()
+    x = tu.gaussian_vectors(400, D, seed=45)
+    mds = [{"cat": f"c{i % 4}", "num": i} for i in range(400)]
+    ids = eng.insert_batch(x, mds)
+    eng.commit()
+    q = tu.gaussian_vectors(3, D, seed=46)
+    f = eq("cat", "c1") & gt("num", 100)
+    r_pre = [
+        [c.id for c in r]
+        for r in eng.search_batch(q, k=10, filter=f, prefilter=True)
+    ]
+    r_post = [
+        [c.id for c in r]
+        for r in eng.search_batch(q, k=10, filter=f, prefilter=False)
+    ]
+    # host ground truth
+    elig = [i for i in range(400) if i % 4 == 1 and i > 100]
+    _, ti = tu.brute_force_knn(q, x[elig], 10, "l2")
+    want = [[ids[elig[j]] for j in row] for row in ti]
+    assert r_pre == want
+    assert r_post == want
+
+
+def test_snapshot_isolation_under_churn():
+    """reference: isolation_test.go TestConsistency_Churn (simplified)"""
+    eng = new_engine()
+    x = tu.gaussian_vectors(50, D, seed=47)
+    ids = eng.insert_batch(x)
+    snap = eng.snapshot()
+    try:
+        # mutate after snapshot: delete + overwrite
+        eng.delete(ids[0])
+        eng.insert_batch(x[1:2] * 0.5, ids=[ids[1]])
+        # snapshot still sees the old world
+        from vecgo_tpu.engine import search as sm
+        from vecgo_tpu.model import SearchOptions
+
+        got, dist, _, _ = sm.search_snapshot(
+            snap, eng.pk, x[0:1], SearchOptions(k=1), eng.options
+        )
+        assert got[0, 0] == ids[0]
+        got, dist, _, _ = sm.search_snapshot(
+            snap, eng.pk, x[1:2], SearchOptions(k=1), eng.options
+        )
+        assert got[0, 0] == ids[1] and dist[0, 0] < 1e-5
+    finally:
+        snap.release()
+    # new searches see the new world
+    res = eng.search(x[0], k=1)
+    assert res[0].id != ids[0]
+
+
+def test_time_travel():
+    """reference: timetravel_test.go"""
+    store = MemoryStore()
+    eng = new_engine(store)
+    x = tu.gaussian_vectors(60, D, seed=48)
+    ids = eng.insert_batch(x[:30])
+    v1 = eng.commit()
+    eng.delete(ids[5])
+    eng.insert_batch(x[30:])
+    v2 = eng.commit()
+    assert eng.versions() == [0, v1, v2]
+    old = Engine.open(store, EngineOptions(), version=v1)
+    assert old.options.read_only
+    res = old.search(x[5], k=1)
+    assert res[0].id == ids[5]  # deletion not yet visible at v1
+    assert old.stats()["segment_rows"] == 30
+    with pytest.raises(ErrReadOnly):
+        old.insert(x[0])
+    cur = Engine.open(store, EngineOptions())
+    res = cur.search(x[5], k=1)
+    assert res[0].id != ids[5]
+
+
+def test_restart_recovery():
+    """reference: e2e_test.go TestE2E_Restart"""
+    store = MemoryStore()
+    eng = new_engine(store)
+    x = tu.gaussian_vectors(120, D, seed=49)
+    ids = eng.insert_batch(x, [{"i": i} for i in range(120)])
+    eng.commit()
+    eng.delete(ids[7])
+    eng.commit()  # persists tombstones
+    eng.close()
+    eng2 = Engine.open(store, EngineOptions())
+    assert eng2.stats()["segment_rows"] == 120
+    res = eng2.search(x[8], k=2)
+    assert res[0].id == ids[8]
+    assert res[0].metadata == {"i": 8}
+    res = eng2.search(x[7], k=5)
+    assert all(c.id != ids[7] for c in res)
+    with pytest.raises(ErrNotFound):
+        eng2.get(ids[7])
+    # uncommitted data is lost by design (crash model): insert without commit
+    eng2.insert(x[0] * 2)
+    eng3 = Engine.open(store, EngineOptions())
+    assert eng3.stats()["live_rows"] == 119
+
+
+def test_vacuum_retention():
+    store = MemoryStore()
+    eng = new_engine(store, retention_versions=1, compaction_threshold=2)
+    x = tu.gaussian_vectors(40, D, seed=50)
+    ids = eng.insert_batch(x[:20])
+    eng.commit()
+    eng.insert_batch(x[20:])
+    eng.commit()
+    eng.compact([h.seg_id for h in eng._segments])
+    n_before = len(store.list("segment_"))
+    out = eng.vacuum()
+    assert len(eng.versions()) <= 2  # current + retained
+    n_after = len(store.list("segment_"))
+    assert n_after < n_before
+    # engine still searchable
+    res = eng.search(x[0], k=1)
+    assert res[0].id == ids[0]
+
+
+def test_schema_validation():
+    schema = Schema({"num": FieldSpec(FieldType.INT, required=True)})
+    eng = new_engine(schema=schema)
+    x = tu.gaussian_vectors(2, D, seed=51)
+    eng.insert(x[0], {"num": 5})
+    from vecgo_tpu.errors import ErrSchemaViolation
+
+    with pytest.raises(ErrSchemaViolation):
+        eng.insert(x[1], {"other": 1})
+    with pytest.raises(ErrSchemaViolation):
+        eng.insert(x[1], {"num": "nope"})
+
+
+def test_invalid_vectors_rejected():
+    eng = new_engine()
+    bad = np.full(D, np.nan, np.float32)
+    with pytest.raises(ErrInvalidVector):
+        eng.insert(bad)
+    from vecgo_tpu.errors import ErrDimensionMismatch
+
+    with pytest.raises(ErrDimensionMismatch):
+        eng.insert(np.ones(D + 1, np.float32))
+
+
+def test_hybrid_search_rrf():
+    eng = new_engine(lexical=True)
+    x = tu.gaussian_vectors(50, D, seed=52)
+    texts = [f"document about topic {i % 5} and stuff" for i in range(50)]
+    texts[3] = "the quick brown fox jumps over the lazy dog"
+    ids = eng.insert_batch(x, texts=texts)
+    res = eng.hybrid_search(x[3], "quick brown fox", k=5)
+    assert res[0].id == ids[3]
+    # lexical survives commit + reopen rebuild
+    eng.commit()
+    res = eng.hybrid_search(x[3], "quick brown fox", k=5)
+    assert res[0].id == ids[3]
+
+
+def test_auto_flush_and_compaction():
+    eng = new_engine(flush_threshold=50, compaction_threshold=2, auto_compact=True)
+    x = tu.gaussian_vectors(250, D, seed=53)
+    for s in range(0, 250, 50):
+        eng.insert_batch(x[s : s + 50])
+    st = eng.stats()
+    assert st["memtable_rows"] == 0  # everything flushed
+    assert st["live_rows"] == 250
+    assert len(st["segments"]) < 5  # compaction merged some
+    _, ti = tu.brute_force_knn(x[:4], x, 5, "l2")
+    for bi, r in enumerate(eng.search_batch(x[:4], k=5)):
+        assert [c.id for c in r] == [int(j) + 1 for j in ti[bi]]
+
+
+def test_faulty_store_commit_fails_cleanly():
+    """reference: fault_test.go — a failed flush must not corrupt the DB."""
+    inner = MemoryStore()
+    store = FaultyStore(inner, fail_pattern="segment_", fail_after=0)
+    eng = Engine.open(
+        store,
+        EngineOptions(dim=D, flush_threshold=10_000_000, graph_threshold=1 << 40),
+        create=True,
+    )
+    x = tu.gaussian_vectors(30, D, seed=54)
+    eng.insert_batch(x)
+    with pytest.raises(IOError):
+        eng.commit()
+    # memtable data still searchable; db recoverable at old version
+    res = eng.search(x[0], k=1)
+    assert res[0].distance < 1e-5
+    store.fail_pattern = ""  # heal
+    eng.commit()
+    assert eng.stats()["segment_rows"] == 30
+
+
+def test_stats_and_explain():
+    eng = new_engine()
+    x = tu.gaussian_vectors(100, D, seed=55)
+    eng.insert_batch(x, [{"cat": f"c{i%2}"} for i in range(100)])
+    eng.commit()
+    res = eng.search(x[0], k=3, filter=eq("cat", "c0"), with_stats=True)
+    st = res.stats
+    assert st is not None
+    assert st.rows_considered == 50
+    assert 0.4 < st.selectivity < 0.6
+    assert "filtered" in st.strategy
+    assert st.total_time_s > 0
+    assert len(st.explain()) > 20
+    assert st.estimated_cost() > 0

@@ -56,7 +56,7 @@ __all__ = [
 
 def __getattr__(name):
     # Lazy imports keep `import vecgo_tpu` light (no jax import at module load).
-    if name in ("Open", "DB", "Local", "Remote", "Create"):
+    if name in ("Open", "DB", "Local", "Remote", "Memory", "Create", "Backend"):
         from vecgo_tpu import api
 
         return getattr(api, name)

@@ -1,0 +1,761 @@
+"""Engine orchestrator: open/recovery, CRUD, commit, compaction, vacuum.
+
+Reference: internal/engine/engine.go (Engine :54, init :424-779, Insert :833,
+BatchInsert :935/:1066, Delete :1186, Get :1638, Commit :1714, Vacuum :1979,
+Stats :2134), compaction.go (3-phase merge :34, policies policy.go).
+
+Threading model: one writer lock guards mutations; searches are lock-free
+against published immutable snapshots (RCU — reference snapshot.go). Flush and
+compaction can run inline (auto) or via explicit calls; file deletion happens
+only in vacuum() so time travel keeps working (append-only manifest history).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from vecgo_tpu.blobstore import BlobStore, LocalStore
+from vecgo_tpu.errors import (
+    ErrClosed,
+    ErrCorrupt,
+    ErrDimensionMismatch,
+    ErrNotFound,
+    ErrReadOnly,
+)
+from vecgo_tpu.engine import search as search_mod
+from vecgo_tpu.engine.manifest import Manifest, ManifestStore, SegmentInfo
+from vecgo_tpu.engine.memtable import MemTable
+from vecgo_tpu.engine.pk import DELETED, MEMTABLE_SEG, PKIndex
+from vecgo_tpu.engine.snapshot import SegmentHandle, Snapshot, SnapshotTracker
+from vecgo_tpu.engine.tombstone import SegmentTombstones, TombstoneSet
+from vecgo_tpu.index.flat import FlatSegment, FlatWriter
+from vecgo_tpu.index.vamana import VamanaSegment, VamanaWriter
+from vecgo_tpu.metadata import Schema
+from vecgo_tpu.model import Candidate, Metric, SearchOptions, SearchResult
+from vecgo_tpu.storage import container
+
+
+@dataclass
+class EngineOptions:
+    """Functional-option analogue (reference: engine.go:154-352, ~25 options)."""
+
+    dim: int = 0
+    metric: Metric = Metric.L2
+    quantizer: str = "none"  # quantizer for flushed/compacted segments
+    qparams: Dict[str, Any] = dc_field(default_factory=dict)
+    flush_threshold: int = 100_000  # memtable rows before auto-flush
+    graph_threshold: int = 32_768  # compaction output >= this -> vamana graph
+    graph_r: int = 32
+    graph_l_build: int = 64
+    graph_alpha: float = 1.2
+    ivf_rows_per_partition: int = 8192  # flat IVF rule (reference: rows/8192)
+    compaction_threshold: int = 4  # size-tiered trigger (reference default 4)
+    auto_flush: bool = True
+    auto_compact: bool = True
+    schema: Optional[Schema] = None
+    read_only: bool = False
+    verify_checksum: bool = True
+    retention_versions: int = 10
+    retention_duration_s: float = 0.0
+    ef_search: int = 64
+    beam_width: int = 4
+    selectivity_cutoff: float = 0.30
+    lexical: bool = False  # BM25 over insert(text=...)
+    observer: Any = None  # MetricsObserver
+    seed: int = 42
+
+    def to_config(self) -> dict:
+        return {
+            "dim": self.dim,
+            "metric": self.metric.value,
+            "quantizer": self.quantizer,
+            "qparams": self.qparams,
+            "schema": self.schema.to_dict() if self.schema else None,
+            "lexical": self.lexical,
+        }
+
+    def apply_config(self, cfg: dict):
+        self.dim = cfg["dim"]
+        self.metric = Metric(cfg["metric"])
+        self.quantizer = cfg.get("quantizer", "none")
+        self.qparams = cfg.get("qparams", {})
+        if cfg.get("schema"):
+            self.schema = Schema.from_dict(cfg["schema"])
+        self.lexical = cfg.get("lexical", False)
+
+
+def _seg_blob(seg_id: int) -> str:
+    return f"segment_{seg_id:06d}.vgt"
+
+
+class Engine:
+    """The LSM engine (see module docstring)."""
+
+    def __init__(self, store: BlobStore, options: EngineOptions):
+        self.store = store
+        self.options = options
+        self.manifests = ManifestStore(store)
+        self._lock = threading.RLock()
+        self._closed = False
+        self._lsn = 0
+        self._next_id = 1
+        self._next_seg_id = 1
+        self._version = 0
+        self.pk = PKIndex()
+        self.memtable = MemTable(options.dim, options.metric)
+        self._segments: List[SegmentHandle] = []
+        self._tombstones = TombstoneSet()
+        self._tracker = SnapshotTracker()
+        self._lexical = None
+        if options.lexical:
+            from vecgo_tpu.lexical.bm25 import BM25Index
+
+            self._lexical = BM25Index()
+
+    # ==================== open / recovery ====================
+
+    @staticmethod
+    def open(
+        store,
+        options: Optional[EngineOptions] = None,
+        version: Optional[int] = None,
+        as_of: Optional[float] = None,
+        create: bool = False,
+    ) -> "Engine":
+        """Open or create (reference: OpenLocal engine.go:357, init :424-779)."""
+        if isinstance(store, str):
+            store = LocalStore(store)
+        options = options or EngineOptions()
+        ms = ManifestStore(store)
+        time_travel = version is not None or as_of is not None
+        if time_travel:
+            options.read_only = True
+        if not ms.exists():
+            if not create and not time_travel:
+                raise ErrNotFound("no database found (pass create=True)")
+            if options.dim <= 0:
+                raise ValueError("dim required to create a database")
+            eng = Engine(store, options)
+            eng._save_manifest(initial=True)
+            return eng
+        m = ms.load(version=version, as_of=as_of)
+        options.apply_config(m.config)
+        eng = Engine(store, options)
+        eng._version = m.version
+        eng._lsn = m.lsn
+        eng._next_id = m.next_id
+        eng._next_seg_id = m.next_seg_id
+        # Open segments (magic/kind dispatch — reference compaction.go:423-457).
+        for info in m.segments:
+            data = store.get(info.name)
+            seg = open_segment(data, info.seg_id, options.verify_checksum)
+            h = SegmentHandle(seg, info)
+            eng._segments.append(h)
+            if info.tombstone_blob:
+                ts = SegmentTombstones.from_bytes(store.get(info.tombstone_blob))
+                eng._tombstones.by_seg[info.seg_id] = ts
+        # Orphan segment GC (reference engine.go:587-611): delete segment blobs
+        # referenced by NO manifest version (crash between put + manifest save).
+        if not options.read_only:
+            eng._gc_orphans()
+        # PK: checkpoint or rebuild (reference engine.go:620-712).
+        if m.pk_checkpoint and store.exists(m.pk_checkpoint):
+            eng.pk = PKIndex.from_checkpoint(store.get(m.pk_checkpoint))
+        else:
+            eng._rebuild_pk()
+        if options.lexical and eng._lexical is not None:
+            eng._rebuild_lexical()
+        return eng
+
+    def _gc_orphans(self):
+        referenced = set()
+        for v in self.manifests.list_versions():
+            m = self.manifests.load(v)
+            for s in m.segments:
+                referenced.add(s.name)
+                if s.tombstone_blob:
+                    referenced.add(s.tombstone_blob)
+            if m.pk_checkpoint:
+                referenced.add(m.pk_checkpoint)
+        for name in self.store.list("segment_"):
+            if name not in referenced:
+                self.store.delete(name)
+
+    def _rebuild_pk(self):
+        pk = PKIndex()
+        for h in self._segments:
+            seg = h.segment
+            dead = self._tombstones.deleted_mask(seg.seg_id, seg.n)
+            for row in range(seg.n):
+                pk._chains.setdefault(int(seg.ids[row]), []).append(
+                    (int(seg.lsns[row]), seg.seg_id, row)
+                )
+            if dead is not None:
+                for row in np.flatnonzero(dead):
+                    # A persisted tombstone without its delete LSN: mark deleted
+                    # as of the manifest LSN.
+                    pk._chains.setdefault(int(seg.ids[row]), []).append(
+                        (self._lsn, DELETED, 0)
+                    )
+        # Order chains by LSN.
+        for chain in pk._chains.values():
+            chain.sort(key=lambda e: e[0])
+        self.pk = pk
+
+    def _rebuild_lexical(self):
+        for h in self._segments:
+            seg = h.segment
+            for row in range(seg.n):
+                doc = seg.doc(row)
+                if doc and "_text" in doc:
+                    self._lexical.add(int(seg.ids[row]), doc["_text"])
+
+    # ==================== snapshots ====================
+
+    def snapshot(self) -> Snapshot:
+        with self._lock:
+            return Snapshot(
+                lsn=self._lsn,
+                version=self._version,
+                memtable=self.memtable,
+                mem_rows=len(self.memtable),
+                segments=tuple(self._segments),
+                tombstones=self._tombstones,
+            ).acquire()
+
+    # ==================== CRUD ====================
+
+    def _check_writable(self):
+        if self._closed:
+            raise ErrClosed("engine is closed")
+        if self.options.read_only:
+            raise ErrReadOnly("read-only (reader mode or time travel)")
+
+    def insert(self, vector, metadata=None, payload=None, text=None, id=None) -> int:
+        """Insert one record; returns its id (reference: Insert engine.go:833)."""
+        return self.insert_batch(
+            np.asarray(vector, np.float32)[None, :],
+            [metadata],
+            [payload],
+            [text] if text is not None else None,
+            [id] if id is not None else None,
+        )[0]
+
+    def insert_batch(
+        self,
+        vectors,
+        metadatas=None,
+        payloads=None,
+        texts=None,
+        ids=None,
+    ) -> List[int]:
+        """Atomic batch insert (reference: BatchInsert :935, WriteBatch batch.go).
+
+        This is also the bulk path — appends are O(1) host work per row
+        (the reference's deferred mode, BatchInsertDeferred :1066, is simply
+        the only mode: L0 has no graph to maintain on TPU)."""
+        self._check_writable()
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.options.dim:
+            raise ErrDimensionMismatch(
+                f"batch shape {vectors.shape}, want [*, {self.options.dim}]"
+            )
+        n = vectors.shape[0]
+        schema = self.options.schema
+        out = []
+        with self._lock:
+            for i in range(n):
+                md = metadatas[i] if metadatas is not None else None
+                if schema is not None:
+                    schema.validate(md)
+                text = texts[i] if texts is not None else None
+                if text is not None:
+                    md = dict(md or {})
+                    md["_text"] = text
+                rid = int(ids[i]) if ids is not None else self._next_id
+                self._next_id = max(self._next_id, rid + 1)
+                self._lsn += 1
+                lsn = self._lsn
+                # Upsert semantics: tombstone any currently-visible old row.
+                old = self.pk.get_entry(rid)
+                if old is not None and old[1] != DELETED:
+                    self._apply_tombstone(old[1], old[2], lsn)
+                row = self.memtable.insert(
+                    vectors[i],
+                    rid,
+                    lsn,
+                    md,
+                    payloads[i] if payloads is not None else None,
+                )
+                self.pk.upsert(rid, MEMTABLE_SEG, row, lsn)
+                if text is not None and self._lexical is not None:
+                    self._lexical.add(rid, text)
+                out.append(rid)
+            obs = self.options.observer
+            if obs is not None:
+                obs.on_insert(n)
+        if self.options.auto_flush and len(self.memtable) >= self.options.flush_threshold:
+            self.commit()
+        return out
+
+    def _apply_tombstone(self, seg_id: int, row: int, lsn: int):
+        if seg_id == MEMTABLE_SEG:
+            self.memtable.mark_deleted(row, lsn)
+        else:
+            seg = self._segment_by_id(seg_id)
+            self._tombstones = self._tombstones.with_delete(seg_id, row, lsn, seg.n)
+
+    def delete(self, id: int) -> bool:
+        """Delete by id (reference: Delete engine.go:1186)."""
+        self._check_writable()
+        with self._lock:
+            ent = self.pk.get_entry(int(id))
+            if ent is None or ent[1] == DELETED:
+                return False
+            self._lsn += 1
+            self._apply_tombstone(ent[1], ent[2], self._lsn)
+            self.pk.delete(int(id), self._lsn)
+            if self._lexical is not None:
+                self._lexical.delete(int(id))
+            obs = self.options.observer
+            if obs is not None:
+                obs.on_delete(1)
+            return True
+
+    def get(self, id: int) -> Candidate:
+        """Point lookup (reference: Get engine.go:1638)."""
+        if self._closed:
+            raise ErrClosed("engine is closed")
+        with self._lock:
+            ent = self.pk.get_entry(int(id))
+            if ent is None or ent[1] == DELETED:
+                raise ErrNotFound(f"id {id}")
+            _, seg_id, row = ent
+            if seg_id == MEMTABLE_SEG:
+                mem = self.memtable
+                return Candidate(
+                    id=int(id), distance=0.0, metadata=mem.doc(row),
+                    payload=mem.payload(row), vector=mem.vector(row).copy(),
+                )
+            seg = self._segment_by_id(seg_id)
+        return Candidate(
+            id=int(id), distance=0.0, metadata=seg.doc(row),
+            payload=seg.payload(row), vector=seg.vector(row).copy(),
+        )
+
+    def _segment_by_id(self, seg_id: int):
+        for h in self._segments:
+            if h.seg_id == seg_id:
+                return h.segment
+        raise ErrNotFound(f"segment {seg_id}")
+
+    def scan(self):
+        """Yield all visible records in id order (reference: Scan engine.go:1393)."""
+        snap = self.snapshot()
+        try:
+            for id, seg_id, row in sorted(self.pk.scan(snap.lsn)):
+                if seg_id == MEMTABLE_SEG:
+                    if row >= snap.mem_rows:
+                        continue
+                    mem = snap.memtable
+                    yield Candidate(
+                        id=id, distance=0.0, metadata=mem.doc(row),
+                        payload=mem.payload(row), vector=mem.vector(row).copy(),
+                    )
+                else:
+                    try:
+                        seg = search_mod._seg_by_id(snap, seg_id)
+                    except KeyError:
+                        continue
+                    yield Candidate(
+                        id=id, distance=0.0, metadata=seg.doc(row),
+                        payload=seg.payload(row), vector=seg.vector(row).copy(),
+                    )
+        finally:
+            snap.release()
+
+    # ==================== search ====================
+
+    def search(self, q, k: int = 10, **kw) -> SearchResult:
+        """Single-query search; kw fields mirror SearchOptions."""
+        res = self.search_batch(np.asarray(q, np.float32)[None, :], k, **kw)
+        return res[0]
+
+    def search_batch(self, qs, k: int = 10, **kw) -> List[SearchResult]:
+        """Batched search (reference: BatchSearch engine.go:1303; on TPU the
+        batch IS the natural unit — queries ride one device program)."""
+        if self._closed:
+            raise ErrClosed("engine is closed")
+        qs = np.asarray(qs, np.float32)
+        if qs.ndim != 2 or qs.shape[1] != self.options.dim:
+            raise ErrDimensionMismatch(f"query shape {qs.shape}")
+        opts = SearchOptions(k=k)
+        for key, val in kw.items():
+            if not hasattr(opts, key):
+                raise TypeError(f"unknown search option {key!r}")
+            setattr(opts, key, val)
+        opts.selectivity_cutoff = kw.get(
+            "selectivity_cutoff", self.options.selectivity_cutoff
+        )
+        snap = self.snapshot()
+        self._tracker.register(snap)
+        try:
+            ids, dists, locs, stats = search_mod.search_snapshot(
+                snap, self.pk, qs, opts, self.options
+            )
+            results = []
+            for bi in range(qs.shape[0]):
+                cands = []
+                for j in range(opts.k):
+                    if ids[bi, j] < 0:
+                        break
+                    c = Candidate(id=int(ids[bi, j]), distance=float(dists[bi, j]))
+                    if not opts.without_data:
+                        seg_id, row = locs[bi][j]
+                        src = snap.memtable if seg_id == -1 else search_mod._seg_by_id(snap, seg_id)
+                        c.metadata = src.doc(row)
+                        c.payload = src.payload(row)
+                        if opts.with_vectors:
+                            c.vector = src.vector(row).copy()
+                    cands.append(c)
+                results.append(SearchResult(candidates=cands, stats=stats))
+            obs = self.options.observer
+            if obs is not None:
+                obs.on_search(qs.shape[0])
+            return results
+        finally:
+            self._tracker.unregister(snap)
+            snap.release()
+
+    def hybrid_search(self, q, text: str, k: int = 10, rrf_k: int = 60, **kw) -> SearchResult:
+        """Vector + BM25 with RRF fusion (reference: HybridSearch engine.go:1538)."""
+        if self._lexical is None:
+            raise ValueError("lexical index not enabled (EngineOptions.lexical)")
+        pool = max(2 * k, 20)
+        vres = self.search(q, pool, **kw)
+        lres = self._lexical.search(text, pool)
+        scores: Dict[int, float] = {}
+        for rank, c in enumerate(vres.candidates):
+            scores[c.id] = scores.get(c.id, 0.0) + 1.0 / (rrf_k + rank + 1)
+        for rank, (id, _) in enumerate(lres):
+            scores[id] = scores.get(id, 0.0) + 1.0 / (rrf_k + rank + 1)
+        top = sorted(scores.items(), key=lambda kv: -kv[1])[:k]
+        out = []
+        for id, s in top:
+            try:
+                c = self.get(id)
+            except ErrNotFound:
+                continue
+            c.distance = -s  # smaller-is-better convention
+            out.append(c)
+        return SearchResult(candidates=out)
+
+    # ==================== durability ====================
+
+    def commit(self) -> int:
+        """Flush memtable -> immutable flat segment; write manifest
+        (reference: Commit engine.go:1714, 3 phases)."""
+        self._check_writable()
+        with self._lock:
+            mem = self.memtable
+            n = len(mem)
+            dirty_tombstones = bool(self._tombstones.by_seg)
+            if n == 0 and not dirty_tombstones:
+                return self._version
+            t0 = time.time()
+            new_handle = None
+            if n:
+                seg_id = self._next_seg_id
+                writer = FlatWriter(
+                    self.options.dim,
+                    self.options.metric,
+                    quantizer=self.options.quantizer,
+                    qparams=self.options.qparams,
+                    ivf_partitions=(
+                        n // self.options.ivf_rows_per_partition
+                        if n >= 2 * self.options.ivf_rows_per_partition
+                        else 0
+                    ),
+                    seed=self.options.seed,
+                )
+                mapping = {}
+                new_row = 0
+                for row, rid, vec, doc, payload in mem.iterate():
+                    writer.add(vec, rid, doc, payload, lsn=mem.lsns[row])
+                    mapping[(MEMTABLE_SEG, row)] = (seg_id, new_row)
+                    new_row += 1
+                data = writer.finish()
+                blob_name = _seg_blob(seg_id)
+                self.store.put(blob_name, data)
+                seg = FlatSegment.open(data, seg_id, verify_checksum=False)
+                info = SegmentInfo(
+                    name=blob_name,
+                    seg_id=seg_id,
+                    kind="flat",
+                    level=0,
+                    row_count=seg.n,
+                    stats=seg.meta.get("stats", {}),
+                )
+                new_handle = SegmentHandle(seg, info)
+                self._next_seg_id += 1
+                self.pk.remap(mapping)
+            # Persist tombstones per segment (reference engine.go:2395-2416).
+            version = self._version + 1
+            for h in self._segments:
+                ts = self._tombstones.by_seg.get(h.seg_id)
+                if ts is not None and len(ts.rows):
+                    tname = f"segment_{h.seg_id:06d}.v{version}.tomb"
+                    self.store.put(tname, ts.to_bytes())
+                    h.info.tombstone_blob = tname
+            if new_handle is not None:
+                self._segments.append(new_handle)
+                self.memtable = MemTable(self.options.dim, self.options.metric)
+            self._version = version
+            self._save_manifest()
+            min_lsn = self._tracker.min_live_lsn(self._lsn)
+            self.pk.compact_chains(min_lsn)
+            obs = self.options.observer
+            if obs is not None:
+                obs.on_flush(n, time.time() - t0)
+        if self.options.auto_compact:
+            self.compact_if_needed()
+        return self._version
+
+    def _save_manifest(self, initial: bool = False):
+        m = Manifest(
+            version=self._version,
+            lsn=self._lsn,
+            next_id=self._next_id,
+            next_seg_id=self._next_seg_id,
+            segments=[h.info for h in self._segments],
+            config=self.options.to_config(),
+        )
+        self.manifests.save(m)
+
+    # ==================== compaction ====================
+
+    def pick_compaction(self) -> Optional[List[int]]:
+        """Size-tiered policy (reference: policy.go, threshold 4): any bucket of
+        similar-sized segments with >= threshold members gets merged. A segment
+        with >30% tombstoned rows is also compacted (rewrite)."""
+        buckets: Dict[int, List[int]] = {}
+        for h in self._segments:
+            live = h.segment.n - self._tombstones.count(h.seg_id)
+            if h.segment.n and live / max(h.segment.n, 1) < 0.7:
+                return [h.seg_id]  # tombstone-driven rewrite
+            bucket = max(int(np.log2(max(live, 1)) // 2), 0)  # log4 buckets
+            buckets.setdefault(bucket, []).append(h.seg_id)
+        for bucket, ids in buckets.items():
+            if len(ids) >= self.options.compaction_threshold:
+                return ids
+        return None
+
+    def compact_if_needed(self) -> bool:
+        picked = self.pick_compaction()
+        if picked:
+            self.compact(picked)
+            return True
+        return False
+
+    def compact(self, seg_ids: Optional[List[int]] = None) -> Optional[int]:
+        """Merge segments (reference: CompactWithContext compaction.go:34).
+
+        P1: snapshot inputs; P2 (no lock): merge + write; P3 (lock): validate
+        inputs still live, swap, save manifest.
+        """
+        self._check_writable()
+        with self._lock:
+            if seg_ids is None:
+                seg_ids = self.pick_compaction()
+                if not seg_ids:
+                    return None
+            inputs = [h for h in self._segments if h.seg_id in set(seg_ids)]
+            if not inputs:
+                return None
+            snapshot_lsn = self._lsn
+            tombstones = self._tombstones
+            out_seg_id = self._next_seg_id
+            self._next_seg_id += 1
+
+        # ---- P2: merge without the lock ----
+        total_live = sum(
+            h.segment.n - tombstones.count(h.seg_id, snapshot_lsn) for h in inputs
+        )
+        if total_live >= self.options.graph_threshold:
+            writer = VamanaWriter(
+                self.options.dim,
+                self.options.metric,
+                r=self.options.graph_r,
+                l_build=self.options.graph_l_build,
+                alpha=self.options.graph_alpha,
+                quantizer=self.options.quantizer,
+                qparams=self.options.qparams,
+                seed=self.options.seed,
+            )
+            kind = "vamana"
+        else:
+            writer = FlatWriter(
+                self.options.dim,
+                self.options.metric,
+                quantizer=self.options.quantizer,
+                qparams=self.options.qparams,
+                ivf_partitions=(
+                    total_live // self.options.ivf_rows_per_partition
+                    if total_live >= 2 * self.options.ivf_rows_per_partition
+                    else 0
+                ),
+                seed=self.options.seed,
+            )
+            kind = "flat"
+        added = []  # (old_seg_id, old_row, id)
+        t0 = time.time()
+        for h in inputs:
+            seg = h.segment
+            dead = tombstones.deleted_mask(seg.seg_id, seg.n, snapshot_lsn)
+            for row in range(seg.n):
+                if dead is not None and dead[row]:
+                    continue
+                writer.add(
+                    seg.vectors[row],
+                    int(seg.ids[row]),
+                    seg.doc(row),
+                    seg.payload(row),
+                    lsn=int(seg.lsns[row]),
+                )
+                added.append((seg.seg_id, row, int(seg.ids[row])))
+        data = writer.finish()
+        blob_name = _seg_blob(out_seg_id)
+        self.store.put(blob_name, data)
+        out_seg = open_segment(data, out_seg_id, verify_checksum=False)
+
+        # ---- P3: swap under the lock ----
+        with self._lock:
+            live_ids = {h.seg_id for h in self._segments}
+            if not all(h.seg_id in live_ids for h in inputs):
+                # Inputs disappeared (concurrent compaction) — abandon.
+                self.store.delete(blob_name)
+                return None
+            # Writer output order may differ from add order (flat+IVF reorders
+            # rows by partition); recover final rows via the id->row map. Live
+            # ids are unique across inputs (updates tombstone the old row).
+            id_to_row = {int(out_seg.ids[r]): r for r in range(out_seg.n)}
+            mapping = {
+                (old_seg, old_row): (out_seg_id, id_to_row[rid])
+                for old_seg, old_row, rid in added
+            }
+            info = SegmentInfo(
+                name=blob_name,
+                seg_id=out_seg_id,
+                kind=kind,
+                level=max(h.info.level for h in inputs) + 1,
+                row_count=out_seg.n,
+                stats=out_seg.meta.get("stats", {}),
+            )
+            new_handle = SegmentHandle(out_seg, info)
+            self._segments = [
+                h for h in self._segments if h.seg_id not in {i.seg_id for i in inputs}
+            ] + [new_handle]
+            # Drop tombstones of compacted-away segments.
+            tb = dict(self._tombstones.by_seg)
+            for h in inputs:
+                tb.pop(h.seg_id, None)
+            self._tombstones = TombstoneSet(tb)
+            self.pk.remap(mapping)
+            self._version += 1
+            self._save_manifest()
+            for h in inputs:
+                h.mark_obsolete()
+            obs = self.options.observer
+            if obs is not None:
+                obs.on_compaction(len(inputs), out_seg.n, time.time() - t0)
+        return self._version
+
+    # ==================== vacuum / time travel ====================
+
+    def vacuum(self) -> dict:
+        """Reclaim unreferenced manifests + blobs (reference: Vacuum :1979)."""
+        self._check_writable()
+        with self._lock:
+            referenced, deleted_versions = self.manifests.vacuum(
+                self.options.retention_versions, self.options.retention_duration_s
+            )
+            deleted_blobs = []
+            live = {h.info.name for h in self._segments}
+            for name in self.store.list("segment_"):
+                if name not in referenced and name not in live:
+                    self.store.delete(name)
+                    deleted_blobs.append(name)
+            for name in self.store.list("pk_"):
+                if name not in referenced:
+                    self.store.delete(name)
+            return {
+                "deleted_versions": deleted_versions,
+                "deleted_blobs": deleted_blobs,
+            }
+
+    def versions(self) -> List[int]:
+        return self.manifests.list_versions()
+
+    # ==================== introspection / lifecycle ====================
+
+    def stats(self) -> dict:
+        """Reference: Stats engine.go:2134, DebugInfo, SegmentInfo."""
+        with self._lock:
+            seg_rows = sum(h.segment.n for h in self._segments)
+            dead = sum(
+                self._tombstones.count(h.seg_id) for h in self._segments
+            )
+            return {
+                "version": self._version,
+                "lsn": self._lsn,
+                "next_id": self._next_id,
+                "memtable_rows": len(self.memtable),
+                "segments": [
+                    {
+                        "seg_id": h.seg_id,
+                        "kind": h.info.kind,
+                        "rows": h.segment.n,
+                        "level": h.info.level,
+                        "tombstones": self._tombstones.count(h.seg_id),
+                    }
+                    for h in self._segments
+                ],
+                "segment_rows": seg_rows,
+                "tombstoned_rows": dead,
+                "live_rows": len(self.memtable) + seg_rows - dead,
+                "pk_entries": len(self.pk),
+            }
+
+    def close(self):
+        """Checkpoint PK and close (reference: Close engine.go:2226-2258)."""
+        if self._closed:
+            return
+        with self._lock:
+            if not self.options.read_only and self.manifests.exists():
+                name = f"pk_{self._version:06d}.ckpt"
+                self.store.put(name, self.pk.checkpoint_bytes())
+                m = self.manifests.load()
+                if m.version == self._version:
+                    m.pk_checkpoint = name
+                    # Rewrite in place: same version, updated checkpoint pointer.
+                    self.store.put(
+                        f"MANIFEST-{m.version:06d}.json", m.to_bytes()
+                    )
+            self._closed = True
+
+
+def open_segment(data: bytes, seg_id: int, verify_checksum: bool = True):
+    """Kind dispatch (reference: magic-number dispatch compaction.go:423-457)."""
+    meta, _ = container.parse_header(data), None
+    kind = meta[0].get("kind")
+    if kind == "flat":
+        return FlatSegment.open(data, seg_id, verify_checksum)
+    if kind == "vamana":
+        return VamanaSegment.open(data, seg_id, verify_checksum)
+    raise ErrCorrupt(f"unknown segment kind {kind!r}")

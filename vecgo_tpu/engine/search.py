@@ -1,0 +1,281 @@
+"""Search planner: adaptive filtered fan-out over memtable + segments.
+
+Reference: internal/engine/search.go (strategy selection :286-311, segment
+fan-out :740-909, rerank :913-965, materialization :982-1082, LSN visibility
+:1092-1105), segment_pruning.go (manifest-stats pruning), cursor_search.go.
+
+TPU-first restructuring:
+- Filters compile to exact dense masks per segment (selectivity is exact, not
+  estimated) — the 30% cutoff decides graph-vs-brute for *vamana* segments only
+  (flat segments are always a masked scan: that IS their search).
+- Per-segment device calls dispatch asynchronously (JAX async dispatch replaces
+  the goroutine-per-segment fan-out); the host merges [B, k'] results.
+- Rerank = exact matmul over gathered candidates.
+- Visibility check compares the candidate row's insert LSN against the PK
+  chain — immune to flush/compaction remaps.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from vecgo_tpu.index.flat import FlatSegment, bloom_may_contain
+from vecgo_tpu.metadata import Op, as_filterset
+from vecgo_tpu.model import Candidate, Metric, QueryStats, SearchOptions, SearchResult
+
+
+def can_prune_segment(stats: dict, fs) -> bool:
+    """O(1) manifest-stats pruning (reference: segment_pruning.go:15,
+    manifest CanPruneNumeric:234 / CanPruneCategorical:449)."""
+    if fs is None or not stats:
+        return False
+    fields = stats.get("fields", {})
+    for flt in fs:
+        st = fields.get(flt.field)
+        if st is None:
+            # Field absent from the whole segment: EQ/IN/GT... match nothing.
+            if flt.op != Op.NEQ:
+                return True
+            continue
+        if st["kind"] == "num" and isinstance(flt.value, (int, float)):
+            lo, hi = st["min"], st["max"]
+            v = float(flt.value)
+            if flt.op == Op.EQ and (v < lo or v > hi):
+                return True
+            if flt.op == Op.GT and hi <= v:
+                return True
+            if flt.op == Op.GTE and hi < v:
+                return True
+            if flt.op == Op.LT and lo >= v:
+                return True
+            if flt.op == Op.LTE and lo > v:
+                return True
+        elif st["kind"] == "str":
+            if flt.op == Op.EQ and st.get("bloom"):
+                if not bloom_may_contain(st["bloom"], str(flt.value)):
+                    return True
+            if flt.op == Op.IN and st.get("bloom"):
+                if not any(bloom_may_contain(st["bloom"], str(v)) for v in flt.value):
+                    return True
+    return False
+
+
+def search_snapshot(
+    snap,
+    pk,
+    q: np.ndarray,  # [B, d] float32
+    opts: SearchOptions,
+    options,  # EngineOptions
+):
+    """Execute a (batched) search against a snapshot.
+
+    Returns (ids [B, k] int64 (-1 pad), dists [B, k] f32, locations list of
+    per-query [(seg_id, row), ...], stats).
+    """
+    import jax.numpy as jnp
+
+    from vecgo_tpu.ops.distance import normalize
+
+    t0 = time.perf_counter()
+    stats = QueryStats() if opts.with_stats else None
+    k = opts.k
+    fetch_k = max(k * max(opts.refine_factor, 1), k)
+    fs = as_filterset(opts.filter)
+    metric = options.metric
+
+    qd = jnp.asarray(q, jnp.float32)
+    if metric == Metric.COSINE:
+        qd = normalize(qd)
+
+    # ---------------- plan + dispatch per source ----------------
+    t_plan = time.perf_counter()
+    pending = []  # (seg_id_or_-1, d_dev, rows_dev, source)
+
+    # Memtable.
+    mem = snap.memtable
+    n_vis = snap.mem_rows
+    if n_vis:
+        mask = None
+        if fs is not None:
+            mask = mem.filter_mask(fs, n_vis)
+        dead = mem.deleted_mask(n_vis, snap.lsn)
+        if dead is not None:
+            mask = ~dead if mask is None else (mask & ~dead)
+        if mask is None or mask.any():
+            d, rows = mem.search(qd, min(fetch_k, n_vis), n_vis, mask)
+            pending.append((-1, d, rows, mem))
+            if stats:
+                stats.rows_considered += n_vis if mask is None else int(mask.sum())
+
+    # Segments.
+    n_brute = n_graph = n_pruned = 0
+    for h in snap.segments:
+        seg = h.segment
+        if seg.n == 0:
+            continue
+        if stats:
+            stats.segments_total += 1
+        if can_prune_segment(h.info.stats, fs):
+            n_pruned += 1
+            continue
+        mask = None
+        selectivity = 1.0
+        if fs is not None:
+            mask = seg.filter_mask(fs)
+            selectivity = float(mask.mean())
+            if selectivity == 0.0:
+                n_pruned += 1
+                continue
+        dead = snap.tombstones.deleted_mask(seg.seg_id, seg.n, snap.lsn)
+        if dead is not None:
+            mask = ~dead if mask is None else (mask & ~dead)
+            if not mask.any():
+                n_pruned += 1
+                continue
+        kk = min(fetch_k, seg.n)
+        if isinstance(seg, FlatSegment):
+            d, rows = seg.search(qd, kk, mask=mask, nprobes=opts.nprobes)
+            n_brute += 1
+        else:
+            cutoff = (
+                opts.selectivity_cutoff
+                if opts.prefilter is None
+                else (1.1 if opts.prefilter else -0.1)
+            )
+            if fs is not None and selectivity <= cutoff:
+                # Brute-force the eligible rows (cheap on MXU at low selectivity
+                # ... and at high selectivity too; the graph only wins on very
+                # large segments — cutoff is configurable).
+                from vecgo_tpu.ops import topk as T
+
+                dev = seg.device_state()
+                d, rows = T.blockwise_topk_search(
+                    qd,
+                    dev["full"],
+                    kk,
+                    metric=metric,
+                    x_norms_sq=dev["rnorm2"],
+                    mask=jnp.asarray(mask),
+                    x_normalized=True,
+                )
+                n_brute += 1
+            else:
+                ef = max(opts.ef or options.ef_search, kk)
+                d, rows = seg.search(
+                    qd, kk, mask=mask, ef=ef,
+                    beam_width=opts.beam_width or options.beam_width,
+                )
+                n_graph += 1
+        if stats:
+            stats.rows_considered += seg.n if mask is None else int(mask.sum())
+            if mask is not None:
+                stats.rows_filtered_out += seg.n - int(mask.sum())
+        pending.append((seg.seg_id, d, rows, seg))
+
+    t_score = time.perf_counter()
+
+    # ---------------- rerank (exact distances) ----------------
+    # Graph results are bf16-precision; quantized flat results approximate.
+    reranked = []
+    for seg_id, d, rows, src in pending:
+        if seg_id >= 0:
+            seg = src
+            needs = (not isinstance(seg, FlatSegment)) or seg.quant.kind != "none"
+            if needs:
+                d = seg.rerank(qd, rows)
+        reranked.append((seg_id, d, rows))
+
+    t_rerank = time.perf_counter()
+
+    # ---------------- host merge + visibility ----------------
+    b = q.shape[0]
+    all_d = []
+    all_rows = []
+    all_seg = []
+    for seg_id, d, rows in reranked:
+        dn = np.asarray(d)
+        rn = np.asarray(rows)
+        all_d.append(dn)
+        all_rows.append(rn)
+        all_seg.append(np.full_like(rn, seg_id))
+    if not all_d:
+        empty_ids = np.full((b, k), -1, np.int64)
+        empty_d = np.full((b, k), np.inf, np.float32)
+        if stats:
+            stats.strategy = "empty"
+        return empty_ids, empty_d, [[] for _ in range(b)], stats
+
+    D = np.concatenate(all_d, axis=1)
+    R = np.concatenate(all_rows, axis=1)
+    S = np.concatenate(all_seg, axis=1)
+    order = np.argsort(D, axis=1, kind="stable")
+
+    out_ids = np.full((b, k), -1, np.int64)
+    out_d = np.full((b, k), np.inf, np.float32)
+    out_loc: List[List] = [[] for _ in range(b)]
+    mem_ids = np.asarray(snap.memtable.ids[: snap.mem_rows], np.int64) if snap.mem_rows else None
+    mem_lsns = np.asarray(snap.memtable.lsns[: snap.mem_rows], np.int64) if snap.mem_rows else None
+    segmap = {h.seg_id: h.segment for h in snap.segments}
+
+    from vecgo_tpu.engine.pk import DELETED
+
+    for bi in range(b):
+        got = 0
+        seen = set()
+        for j in order[bi]:
+            if not np.isfinite(D[bi, j]) or got >= k:
+                break
+            seg_id = int(S[bi, j])
+            row = int(R[bi, j])
+            if row < 0:
+                continue
+            if seg_id == -1:
+                cid = int(mem_ids[row])
+                row_lsn = int(mem_lsns[row])
+            else:
+                seg = segmap[seg_id]
+                cid = int(seg.ids[row])
+                row_lsn = int(seg.lsns[row])
+            if cid in seen:
+                continue
+            # MVCC visibility: this physical row is current iff the PK chain's
+            # visible entry at the snapshot has the same insert LSN.
+            ent = pk.get_entry(cid, snap.lsn)
+            if ent is None or ent[1] == DELETED or ent[0] != row_lsn:
+                continue
+            seen.add(cid)
+            out_ids[bi, got] = cid
+            out_d[bi, got] = D[bi, j]
+            out_loc[bi].append((seg_id, row))
+            got += 1
+
+    t_end = time.perf_counter()
+    if stats:
+        stats.planning_time_s = t_plan - t0
+        stats.scoring_time_s = t_score - t_plan
+        stats.rerank_time_s = t_rerank - t_score
+        stats.materialize_time_s = t_end - t_rerank
+        stats.total_time_s = t_end - t0
+        stats.segments_pruned = n_pruned
+        stats.segments_brute_force = n_brute
+        stats.segments_graph = n_graph
+        stats.distance_computations = stats.rows_considered * 1
+        if fs is not None:
+            sel_total = stats.rows_considered
+            all_total = snap.mem_rows + sum(h.segment.n for h in snap.segments)
+            stats.selectivity = sel_total / max(all_total, 1)
+        stats.strategy = (
+            f"brute={n_brute} graph={n_graph} pruned={n_pruned}"
+            + (" filtered" if fs is not None else "")
+        )
+    return out_ids, out_d, out_loc, stats
+
+
+def _seg_by_id(snap, seg_id: int):
+    for h in snap.segments:
+        if h.seg_id == seg_id:
+            return h.segment
+    raise KeyError(seg_id)

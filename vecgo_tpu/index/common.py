@@ -21,8 +21,10 @@ class RowBuffer:
         self.ids: List[int] = []
         self.docs: List[Optional[dict]] = []
         self.payloads: List[Optional[bytes]] = []
+        self.lsns: List[int] = []
 
-    def add(self, vector, id: int, metadata=None, payload: Optional[bytes] = None):
+    def add(self, vector, id: int, metadata=None, payload: Optional[bytes] = None,
+            lsn: int = 0):
         v = np.asarray(vector, np.float32).reshape(-1)
         if v.shape[0] != self.dim:
             raise ErrDimensionMismatch(f"got {v.shape[0]}, want {self.dim}")
@@ -32,8 +34,9 @@ class RowBuffer:
         self.ids.append(int(id))
         self.docs.append(metadata)
         self.payloads.append(payload)
+        self.lsns.append(int(lsn))
 
-    def add_batch(self, vectors, ids, metadatas=None, payloads=None):
+    def add_batch(self, vectors, ids, metadatas=None, payloads=None, lsns=None):
         vectors = np.asarray(vectors, np.float32)
         for i in range(vectors.shape[0]):
             self.add(
@@ -41,6 +44,7 @@ class RowBuffer:
                 ids[i],
                 metadatas[i] if metadatas is not None else None,
                 payloads[i] if payloads is not None else None,
+                lsns[i] if lsns is not None else 0,
             )
 
     def __len__(self):
@@ -59,6 +63,7 @@ class RowBuffer:
         self.ids = [self.ids[i] for i in order]
         self.docs = [self.docs[i] for i in order]
         self.payloads = [self.payloads[i] for i in order]
+        self.lsns = [self.lsns[i] for i in order]
 
 
 def csr_bytes_sections(
@@ -89,12 +94,15 @@ def docs_sections(docs: List[Optional[dict]]) -> Dict[str, np.ndarray]:
     return csr_bytes_sections(enc, "docs")
 
 
-def row_sections(x: np.ndarray, ids: np.ndarray, docs, payloads):
-    """Common sections: vectors/norms/ids/metadata columns/payloads/docs."""
+def row_sections(x: np.ndarray, ids: np.ndarray, docs, payloads, lsns=None):
+    """Common sections: vectors/norms/ids/lsns/metadata columns/payloads/docs."""
     sections: Dict[str, np.ndarray] = {
         "vectors": x,
         "rnorm2": (x.astype(np.float64) ** 2).sum(1).astype(np.float32),
         "ids": ids,
+        "lsns": np.asarray(
+            lsns if lsns is not None else np.zeros(len(ids)), np.int64
+        ),
     }
     cm = ColumnarMeta.from_docs(docs)
     md_meta, md_sections = cm.to_sections()

@@ -55,11 +55,12 @@ class FlatWriter:
         self.seed = seed
         self._rows = common.RowBuffer(dim)
 
-    def add(self, vector, id: int, metadata=None, payload: Optional[bytes] = None):
-        self._rows.add(vector, id, metadata, payload)
+    def add(self, vector, id: int, metadata=None, payload: Optional[bytes] = None,
+            lsn: int = 0):
+        self._rows.add(vector, id, metadata, payload, lsn)
 
-    def add_batch(self, vectors, ids, metadatas=None, payloads=None):
-        self._rows.add_batch(vectors, ids, metadatas, payloads)
+    def add_batch(self, vectors, ids, metadatas=None, payloads=None, lsns=None):
+        self._rows.add_batch(vectors, ids, metadatas, payloads, lsns)
 
     @property
     def row_count(self) -> int:
@@ -86,7 +87,7 @@ class FlatWriter:
 
         x, ids = self._rows.stacked(self.metric)
         sections, md_meta, cm = common.row_sections(
-            x, ids, self._rows.docs, self._rows.payloads
+            x, ids, self._rows.docs, self._rows.payloads, self._rows.lsns
         )
 
         # --- quantization (full-precision vectors always kept for rerank) ---
@@ -199,6 +200,7 @@ class FlatSegment:
         self.ids: np.ndarray = sections["ids"]
         self.vectors: np.ndarray = sections["vectors"]
         self.rnorm2: np.ndarray = sections["rnorm2"]
+        self.lsns: np.ndarray = sections.get("lsns", np.zeros(self.n, np.int64))
         qmeta = meta["quantizer"]
         qarrays = {
             name[2:]: arr for name, arr in sections.items() if name.startswith("q.")

@@ -212,11 +212,12 @@ class VamanaWriter:
         self.seed = seed
         self._rows = common.RowBuffer(dim)
 
-    def add(self, vector, id: int, metadata=None, payload: Optional[bytes] = None):
-        self._rows.add(vector, id, metadata, payload)
+    def add(self, vector, id: int, metadata=None, payload: Optional[bytes] = None,
+            lsn: int = 0):
+        self._rows.add(vector, id, metadata, payload, lsn)
 
-    def add_batch(self, vectors, ids, metadatas=None, payloads=None):
-        self._rows.add_batch(vectors, ids, metadatas, payloads)
+    def add_batch(self, vectors, ids, metadatas=None, payloads=None, lsns=None):
+        self._rows.add_batch(vectors, ids, metadatas, payloads, lsns)
 
     @property
     def row_count(self) -> int:
@@ -229,7 +230,7 @@ class VamanaWriter:
             x, r=self.r, l_build=self.l_build, alpha=self.alpha, seed=self.seed
         )
         sections, md_meta, cm = common.row_sections(
-            x, ids, self._rows.docs, self._rows.payloads
+            x, ids, self._rows.docs, self._rows.payloads, self._rows.lsns
         )
         sections["graph"] = graph
 
@@ -276,6 +277,7 @@ class VamanaSegment:
         self.ids: np.ndarray = sections["ids"]
         self.vectors: np.ndarray = sections["vectors"]
         self.rnorm2: np.ndarray = sections["rnorm2"]
+        self.lsns: np.ndarray = sections.get("lsns", np.zeros(self.n, np.int64))
         self.graph: np.ndarray = sections["graph"]
         self.cm = ColumnarMeta.from_sections(meta["metadata"], sections)
         self._payload_data = sections.get("payload.data")
