@@ -120,7 +120,8 @@ def Open(
     WithVersion/WithTimestamp, engine.go:289-313).
     """
     create = options is not None and options.dim > 0
-    if options is not None and backend.read_only:
+    if backend.read_only:
+        options = options or EngineOptions()
         options.read_only = True
     eng = Engine.open(
         backend.store, options, version=version, as_of=as_of, create=create
