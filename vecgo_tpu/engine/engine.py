@@ -56,8 +56,12 @@ class EngineOptions:
     graph_alpha: float = 1.2
     ivf_rows_per_partition: int = 8192  # flat IVF rule (reference: rows/8192)
     compaction_threshold: int = 4  # size-tiered trigger (reference default 4)
+    compaction_policy: Any = None  # engine.policy.CompactionPolicy; None = size-tiered
     auto_flush: bool = True
     auto_compact: bool = True
+    background: bool = False  # run flush/compaction on background threads
+    flush_interval_s: float = 5.0  # background loop cadence
+    memory_limit_bytes: int = 0  # resource controller cap (0 = unlimited)
     schema: Optional[Schema] = None
     read_only: bool = False
     verify_checksum: bool = True
@@ -541,20 +545,23 @@ class Engine:
     # ==================== compaction ====================
 
     def pick_compaction(self) -> Optional[List[int]]:
-        """Size-tiered policy (reference: policy.go, threshold 4): any bucket of
-        similar-sized segments with >= threshold members gets merged. A segment
-        with >30% tombstoned rows is also compacted (rewrite)."""
-        buckets: Dict[int, List[int]] = {}
-        for h in self._segments:
-            live = h.segment.n - self._tombstones.count(h.seg_id)
-            if h.segment.n and live / max(h.segment.n, 1) < 0.7:
-                return [h.seg_id]  # tombstone-driven rewrite
-            bucket = max(int(np.log2(max(live, 1)) // 2), 0)  # log4 buckets
-            buckets.setdefault(bucket, []).append(h.seg_id)
-        for bucket, ids in buckets.items():
-            if len(ids) >= self.options.compaction_threshold:
-                return ids
-        return None
+        """Delegate to the configured policy (reference: policy.Pick)."""
+        from vecgo_tpu.engine.policy import SegmentView, SizeTieredPolicy
+
+        policy = self.options.compaction_policy or SizeTieredPolicy(
+            threshold=self.options.compaction_threshold
+        )
+        views = [
+            SegmentView(
+                seg_id=h.seg_id,
+                level=h.info.level,
+                rows=h.segment.n,
+                live_rows=h.segment.n - self._tombstones.count(h.seg_id),
+            )
+            for h in self._segments
+        ]
+        picked = policy.pick(views)
+        return picked if picked else None
 
     def compact_if_needed(self) -> bool:
         picked = self.pick_compaction()
@@ -676,6 +683,70 @@ class Engine:
                 obs.on_compaction(len(inputs), out_seg.n, time.time() - t0)
         return self._version
 
+    # ==================== write batch ====================
+
+    def write_batch(self) -> "WriteBatch":
+        """Atomic multi-op batch (reference: WriteBatch batch.go:31)."""
+        return WriteBatch(self)
+
+    # ==================== background loops ====================
+
+    def start_background(self):
+        """Start flush + compaction threads (reference: runFlushLoop
+        engine.go:2313, runCompactionLoop :2329; GoSafe panic trap safe.go:11)."""
+        if getattr(self, "_bg_stop", None) is not None:
+            return
+        self._bg_stop = threading.Event()
+        self._compact_signal = threading.Event()
+
+        def _safe(fn):
+            # GoSafe analogue: a crashed background loop must not kill the engine.
+            def run():
+                while not self._bg_stop.is_set():
+                    try:
+                        fn()
+                    except Exception:
+                        import logging
+
+                        logging.getLogger("vecgo_tpu").exception(
+                            "background task failed"
+                        )
+                        self._bg_stop.wait(1.0)
+
+            return run
+
+        def flush_loop():
+            self._bg_stop.wait(self.options.flush_interval_s)
+            if self._bg_stop.is_set():
+                return
+            if len(self.memtable) >= self.options.flush_threshold:
+                self.commit()
+                self._compact_signal.set()
+
+        def compact_loop():
+            self._compact_signal.wait(self.options.flush_interval_s)
+            self._compact_signal.clear()
+            if self._bg_stop.is_set():
+                return
+            self.compact_if_needed()
+
+        self._bg_threads = [
+            threading.Thread(target=_safe(flush_loop), daemon=True, name="vecgo-flush"),
+            threading.Thread(target=_safe(compact_loop), daemon=True, name="vecgo-compact"),
+        ]
+        for t in self._bg_threads:
+            t.start()
+
+    def stop_background(self):
+        stop = getattr(self, "_bg_stop", None)
+        if stop is None:
+            return
+        stop.set()
+        getattr(self, "_compact_signal", threading.Event()).set()
+        for t in getattr(self, "_bg_threads", []):
+            t.join(timeout=10)
+        self._bg_stop = None
+
     # ==================== vacuum / time travel ====================
 
     def vacuum(self) -> dict:
@@ -736,6 +807,7 @@ class Engine:
         """Checkpoint PK and close (reference: Close engine.go:2226-2258)."""
         if self._closed:
             return
+        self.stop_background()
         with self._lock:
             if not self.options.read_only and self.manifests.exists():
                 name = f"pk_{self._version:06d}.ckpt"
@@ -748,6 +820,57 @@ class Engine:
                         f"MANIFEST-{m.version:06d}.json", m.to_bytes()
                     )
             self._closed = True
+
+
+class WriteBatch:
+    """Atomic multi-op batch: queue inserts/deletes, apply under one lock
+    acquisition (reference: engine/batch.go:31, ApplyBatch:70)."""
+
+    def __init__(self, engine: Engine):
+        self.engine = engine
+        self._inserts = []  # (vector, metadata, payload, text, id)
+        self._deletes = []
+
+    def insert(self, vector, metadata=None, payload=None, text=None, id=None):
+        self._inserts.append((np.asarray(vector, np.float32), metadata, payload, text, id))
+        return self
+
+    def delete(self, id: int):
+        self._deletes.append(int(id))
+        return self
+
+    def apply(self) -> List[int]:
+        """Apply all ops atomically; returns assigned insert ids."""
+        eng = self.engine
+        eng._check_writable()
+        with eng._lock:
+            ids = []
+            if self._inserts:
+                vectors = np.stack([op[0] for op in self._inserts])
+                auto = eng.options.auto_flush
+                eng.options.auto_flush = False  # no flush mid-batch
+                try:
+                    ids = eng.insert_batch(
+                        vectors,
+                        [op[1] for op in self._inserts],
+                        [op[2] for op in self._inserts],
+                        [op[3] for op in self._inserts]
+                        if any(op[3] is not None for op in self._inserts)
+                        else None,
+                        [op[4] for op in self._inserts]
+                        if all(op[4] is not None for op in self._inserts)
+                        else None,
+                    )
+                finally:
+                    eng.options.auto_flush = auto
+            for id in self._deletes:
+                eng.delete(id)
+        if (
+            eng.options.auto_flush
+            and len(eng.memtable) >= eng.options.flush_threshold
+        ):
+            eng.commit()
+        return ids
 
 
 def open_segment(data: bytes, seg_id: int, verify_checksum: bool = True):

@@ -27,6 +27,12 @@ def topk_smallest(scores: jax.Array, k: int):
     return -neg, idx
 
 
+def topk_smallest_with_ids(d: jax.Array, i: jax.Array, k: int):
+    """Top-k smallest of (d, i) pairs along the last axis."""
+    dk, pos = topk_smallest(d, k)
+    return dk, jnp.take_along_axis(i, pos, axis=-1)
+
+
 def merge_topk(d_a, i_a, d_b, i_b, k: int):
     """Merge two top-k sets (last axis) into the k smallest overall."""
     d = jnp.concatenate([d_a, d_b], axis=-1)
@@ -90,9 +96,12 @@ def _blockwise_search_jit(
         else jnp.ones((nblocks, block_rows), jnp.bool_)
     )
 
+    # Derive the carry init from the operands so it picks up their device-
+    # varying axes when this runs inside shard_map (pvary-equivalent).
+    vary = q[:, :1].astype(jnp.float32) * 0.0 + x.reshape(-1)[0] * 0.0
     init = (
-        jnp.full((b, k), _INF, jnp.float32),
-        jnp.full((b, k), -1, jnp.int32),
+        jnp.full((b, k), _INF, jnp.float32) + vary,
+        jnp.full((b, k), -1, jnp.int32) + vary.astype(jnp.int32),
     )
 
     def body(carry, inputs):
