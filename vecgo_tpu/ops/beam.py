@@ -8,44 +8,67 @@ RobustPrune (diskann/writer.go:571-625).
 Design (SURVEY.md §7.1):
 - B queries walk the graph in lockstep. Per-query state is a fixed-width
   search list of `ef` (id, dist, expanded) triples — exactly DiskANN's L-list,
-  kept as dense arrays instead of a heap.
-- Each step expands the `beam_width` nearest unexpanded entries per query:
-  gather their [W, R] neighbor rows, dedup against the list, score all new
-  candidates with one batched matmul, and keep the best `ef` by top-k.
+  kept as dense arrays instead of a heap, and kept SORTED by distance.
+- Each step expands the `beam_width` nearest unexpanded entries, gathers their
+  [W, R] neighbor rows, dedups against the list, scores all new candidates
+  with one batched matmul, and merges via a single 3-operand lax.sort.
 - Termination: lax.while_loop until every query's list is fully expanded (or
   max_steps). No host sync inside the loop.
 - Filtered search keeps a separate masked result list (post-filter quality in
   a single pass: traversal is unmasked, results are masked) — replacing the
-  reference's 4 traversal modes (hnsw.go:1220/1159/1406/1711).
-- The visited-dedup is list-local: a node that falls off the ef-list can be
-  re-scored later. This trades a little extra compute for O(ef) state — the
-  lockstep analogue of the reference's epoch visited set (searcher/visited.go).
+  reference's 4 traversal modes (hnsw.go:1220/1159/1406/1711). With no mask
+  the result IS the search list, so no extra per-step work.
+
+Performance notes (measured on TPU v5e): per-row top_k/take_along_axis on
+[B, ef+W*R] tiles cost ~0.5-2 ms per call inside loops — they are the
+throughput limiters, NOT the gathers or matmuls. Hence:
+- list maintenance uses ONE multi-operand lax.sort per step (cheapest
+  primitive for co-sorting (dist, id, flag)),
+- beam selection uses rank-mask arithmetic + a masked weighted-sum extraction
+  (pure VPU, no sort/gather/scatter),
+- `expanded` updates are elementwise mask ops (TPU scatter avoided).
+
+The visited-dedup is list-local: a node that falls off the ef-list can be
+re-scored later. This trades a little extra compute for O(ef) state — the
+lockstep analogue of the reference's epoch visited set (searcher/visited.go).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from vecgo_tpu.ops import topk as topk_ops
-
 _INF = jnp.inf
+_BIG = jnp.float32(3.0e38)
 
 
-def _score_rows(q, qn, vectors, rnorm2, ids):
+def _score_rows(q_bf16, qn, vectors, rnorm2, ids):
     """Distances from q [B,d] to vectors[ids] [B,M] via gathered matmul."""
+    b, m = ids.shape
     safe = jnp.maximum(ids, 0)
-    v = jnp.take(vectors, safe, axis=0)  # [B, M, d]
+    v = jnp.take(vectors, safe.reshape(-1), axis=0).reshape(b, m, -1)
     prod = jnp.einsum(
-        "bmd,bd->bm",
-        v.astype(jnp.bfloat16),
-        q.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
+        "bmd,bd->bm", v, q_bf16, preferred_element_type=jnp.float32
     )
     return qn + jnp.take(rnorm2, safe) - 2.0 * prod
+
+
+def _extract_by_rank(values, rank_mask_rank, w, fill):
+    """values [B, L] -> [B, W]: entry with rank r (1-based, where mask) lands in
+    column r-1; pure compare+weighted-sum (no sort/gather).
+
+    rank_mask_rank: int32 [B, L], >=1 where selected (its output column + 1),
+    0 where not selected.
+    """
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
+    m = (rank_mask_rank[:, None, :] == cols + 1)  # [B, W, L]
+    picked = jnp.sum(
+        jnp.where(m, values[:, None, :], 0), axis=2
+    )
+    any_ = jnp.any(m, axis=2)
+    return jnp.where(any_, picked, fill), any_
 
 
 @functools.partial(
@@ -54,102 +77,105 @@ def _score_rows(q, qn, vectors, rnorm2, ids):
 )
 def beam_search(
     q,  # [B, d] float
-    vectors,  # [N, d] (f32 or bf16 traversal copy)
+    vectors,  # [N, d] (bf16 traversal copy)
     rnorm2,  # [N] f32
     graph,  # [N, R] int32, -1 padded
     entry_ids,  # [E] int32 entry points (medoid + extras)
     *,
     ef: int,
     k: int,
-    beam_width: int = 4,
+    beam_width: int = 8,
     max_steps: int = 0,
     mask=None,  # [N] bool or None: result filter (traversal unrestricted)
     with_visited: bool = False,
 ):
     """Batched greedy/beam search. Returns (res_d [B,k], res_i [B,k]) plus,
-    when with_visited, the final search list (cand_d [B,ef], cand_i [B,ef])
-    for Vamana build candidate generation."""
+    when with_visited, the final search list (cand_d [B,ef], cand_i [B,ef])."""
     b, d = q.shape
     r = graph.shape[1]
     w = beam_width
     m = w * r
     if max_steps == 0:
-        max_steps = ef  # enough to expand the whole list one beam at a time
+        # Enough for every list slot to be expanded once plus slack; capping
+        # here (instead of ef steps) is a large win: one straggler query
+        # otherwise keeps the whole batch iterating.
+        max_steps = ef // w + 6
 
     qf = q.astype(jnp.float32)
+    q16 = q.astype(jnp.bfloat16)
     qn = jnp.sum(qf * qf, axis=-1, keepdims=True)  # [B,1]
 
     e = entry_ids.shape[0]
     init_ids = jnp.broadcast_to(entry_ids[None, :], (b, e)).astype(jnp.int32)
-    init_d = _score_rows(qf, qn, vectors, rnorm2, init_ids)
+    init_d = _score_rows(q16, qn, vectors, rnorm2, init_ids)
     pad = ef - e
-    cand_ids = jnp.concatenate(
-        [init_ids, jnp.full((b, pad), -1, jnp.int32)], axis=1
-    )
-    cand_d = jnp.concatenate([init_d, jnp.full((b, pad), _INF, jnp.float32)], axis=1)
+    cand_ids = jnp.concatenate([init_ids, jnp.full((b, pad), -1, jnp.int32)], axis=1)
+    cand_d = jnp.concatenate([init_d, jnp.full((b, pad), _BIG, jnp.float32)], axis=1)
+    # Establish the sorted-list invariant (sentinels carry _BIG -> tail).
+    cand_d, cand_ids = _sort2(cand_d, cand_ids)
     expanded = cand_ids < 0  # sentinels count as expanded
 
-    # Masked result list.
-    if mask is not None:
+    track_res = mask is not None
+    if track_res:
         allowed0 = jnp.take(mask, jnp.maximum(init_ids, 0)) & (init_ids >= 0)
-        rd0 = jnp.where(allowed0, init_d, _INF)
+        rd0 = jnp.where(allowed0, init_d, _BIG)
+        kpad = max(k - e, 0)
+        res_d = jnp.concatenate([rd0, jnp.full((b, kpad), _BIG)], axis=1)
+        res_i = jnp.concatenate(
+            [init_ids, jnp.full((b, kpad), -1, jnp.int32)], axis=1
+        )
+        res_d, res_i = _sort2(res_d, res_i)
+        res_d, res_i = res_d[:, :k], res_i[:, :k]
     else:
-        rd0 = init_d
-    res_d, pos0 = topk_ops.topk_smallest(
-        jnp.concatenate([rd0, jnp.full((b, max(k - e, 0)), _INF)], axis=1), k
-    )
-    res_i = jnp.take_along_axis(
-        jnp.concatenate([init_ids, jnp.full((b, max(k - e, 0)), -1, jnp.int32)], 1),
-        pos0,
-        axis=1,
-    )
-
-    rows_b = jnp.arange(b)[:, None]
+        res_d = jnp.zeros((b, 1), jnp.float32)
+        res_i = jnp.zeros((b, 1), jnp.int32)
 
     def cond(state):
         step, cand_ids, cand_d, expanded, res_d, res_i = state
-        active = jnp.any(~expanded & jnp.isfinite(cand_d))
+        active = jnp.any(~expanded & (cand_d < _BIG))
         return (step < max_steps) & active
 
     def body(state):
         step, cand_ids, cand_d, expanded, res_d, res_i = state
-        sel_score = jnp.where(expanded, _INF, cand_d)
-        _, sel_pos = jax.lax.top_k(-sel_score, w)  # [B, W] smallest unexpanded
-        sel_ids = jnp.take_along_axis(cand_ids, sel_pos, axis=1)
-        sel_valid = jnp.isfinite(
-            jnp.take_along_axis(sel_score, sel_pos, axis=1)
-        ) & (sel_ids >= 0)
-        expanded = expanded.at[rows_b, sel_pos].set(True)
+        # ---- select the W nearest unexpanded (list is sorted) ----
+        unexp = (~expanded) & (cand_d < _BIG)
+        rank = jnp.cumsum(unexp.astype(jnp.int32), axis=1)
+        selm = unexp & (rank <= w)
+        sel_rank = jnp.where(selm, rank, 0)
+        sel_ids, sel_ok = _extract_by_rank(cand_ids, sel_rank, w, jnp.int32(-1))
+        expanded = expanded | selm
 
+        # ---- expand: gather neighbor lists ----
         nbrs = jnp.take(graph, jnp.maximum(sel_ids, 0), axis=0)  # [B, W, R]
-        nbrs = jnp.where(sel_valid[:, :, None], nbrs, -1).reshape(b, m)
+        nbrs = jnp.where(sel_ok[:, :, None], nbrs, -1).reshape(b, m)
         valid_new = nbrs >= 0
         # Dedup vs the current list and within the new batch (keep first).
         dup_list = (nbrs[:, :, None] == cand_ids[:, None, :]).any(-1)
         eq_new = nbrs[:, :, None] == nbrs[:, None, :]
         earlier = jnp.tril(jnp.ones((m, m), bool), k=-1)[None]
-        dup_new = (eq_new & earlier).any(-1)
-        fresh = valid_new & ~dup_list & ~dup_new
+        fresh = valid_new & ~dup_list & ~(eq_new & earlier).any(-1)
 
-        d_new = _score_rows(qf, qn, vectors, rnorm2, nbrs)
-        d_new = jnp.where(fresh, d_new, _INF)
+        # ---- score ----
+        d_new = _score_rows(q16, qn, vectors, rnorm2, nbrs)
+        d_new = jnp.where(fresh, d_new, _BIG)
 
-        # Merge into the ef-list.
-        all_ids = jnp.concatenate([cand_ids, nbrs], axis=1)
+        # ---- merge into the sorted ef-list: one 3-operand sort ----
         all_d = jnp.concatenate([cand_d, d_new], axis=1)
-        all_exp = jnp.concatenate([expanded, ~fresh], axis=1)
-        new_d, pos = jax.lax.top_k(-all_d, ef)
-        cand_d = -new_d
-        cand_ids = jnp.take_along_axis(all_ids, pos, axis=1)
-        expanded = jnp.take_along_axis(all_exp, pos, axis=1)
+        all_i = jnp.concatenate([cand_ids, nbrs], axis=1)
+        all_e = jnp.concatenate([expanded, ~fresh], axis=1).astype(jnp.int8)
+        sd, si, se = jax.lax.sort((all_d, all_i, all_e), num_keys=1)
+        cand_d = sd[:, :ef]
+        cand_ids = si[:, :ef]
+        expanded = se[:, :ef] > 0
 
-        # Merge masked results.
-        if mask is not None:
+        # ---- masked result list (only when filtering) ----
+        if track_res:
             allowed = jnp.take(mask, jnp.maximum(nbrs, 0)) & fresh
-            rd = jnp.where(allowed, d_new, _INF)
-        else:
-            rd = d_new
-        res_d, res_i = topk_ops.merge_topk(res_d, res_i, rd, nbrs, k)
+            rd = jnp.where(allowed, d_new, _BIG)
+            md = jnp.concatenate([res_d, rd], axis=1)
+            mi = jnp.concatenate([res_i, nbrs], axis=1)
+            sd2, si2 = _sort2(md, mi)
+            res_d, res_i = sd2[:, :k], si2[:, :k]
 
         return step + 1, cand_ids, cand_d, expanded, res_d, res_i
 
@@ -157,10 +183,19 @@ def beam_search(
     _, cand_ids, cand_d, expanded, res_d, res_i = jax.lax.while_loop(
         cond, body, state
     )
+    if not track_res:
+        res_d, res_i = cand_d[:, :k], cand_ids[:, :k]
+    res_d = jnp.where(res_d >= _BIG, _INF, res_d)
     res_i = jnp.where(jnp.isfinite(res_d), res_i, -1)
     if with_visited:
+        cand_d = jnp.where(cand_d >= _BIG, _INF, cand_d)
         return res_d, res_i, cand_d, cand_ids
     return res_d, res_i
+
+
+def _sort2(d, i):
+    sd, si = jax.lax.sort((d, i), num_keys=1)
+    return sd, si
 
 
 @functools.partial(jax.jit, static_argnames=("r_out", "alpha"))
@@ -178,50 +213,57 @@ def robust_prune(
 
     Per node: repeatedly take the closest alive candidate c*, keep it, and
     kill every candidate x with alpha * d(c*, x) <= d(p, x). Runs the R_out
-    picks as a lax.scan with [C, L] masks; all distances via batched matmuls.
+    picks as a lax.scan with [C, L] masks; all distances via batched matmuls;
+    no scatters (column writes become iota-mask selects).
     Returns [C, r_out] int32 neighbor ids (-1 padded).
     """
     c, l = cand_ids.shape
     pf = p_vecs.astype(jnp.float32)
+    p16 = p_vecs.astype(jnp.bfloat16)
     pn = jnp.sum(pf * pf, axis=-1, keepdims=True)
 
     safe = jnp.maximum(cand_ids, 0)
-    cv = jnp.take(vectors, safe, axis=0).astype(jnp.float32)  # [C, L, d]
+    cv = jnp.take(vectors, safe.reshape(-1), axis=0).reshape(c, l, -1)
+    cv16 = cv.astype(jnp.bfloat16)
     cn = jnp.take(rnorm2, safe)  # [C, L]
     d_p = pn + cn - 2.0 * jnp.einsum(
-        "cld,cd->cl", cv.astype(jnp.bfloat16), pf.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
+        "cld,cd->cl", cv16, p16, preferred_element_type=jnp.float32
     )
     valid = (cand_ids >= 0) & (cand_ids != p_ids[:, None])
     # Dedup within candidates (keep first occurrence).
     eq = cand_ids[:, :, None] == cand_ids[:, None, :]
     earlier = jnp.tril(jnp.ones((l, l), bool), k=-1)[None]
     valid = valid & ~(eq & earlier).any(-1)
-    d_p = jnp.where(valid, d_p, _INF)
+    d_p = jnp.where(valid, d_p, _BIG)
 
-    rows_c = jnp.arange(c)
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (1, r_out), 1)
 
-    def pick(carry, _):
-        alive, out_ids, slot = carry
-        dmask = jnp.where(alive, d_p, _INF)
-        best = jnp.argmin(dmask, axis=1)  # [C]
-        best_d = jnp.take_along_axis(dmask, best[:, None], axis=1)[:, 0]
-        ok = jnp.isfinite(best_d)
-        best_id = jnp.where(ok, cand_ids[rows_c, best], -1)
-        out_ids = out_ids.at[:, slot].set(best_id)
-        # Occlusion: alpha * d(c*, x) <= d(p, x) kills x.
-        bv = cv[rows_c, best]  # [C, d]
-        bn = cn[rows_c, best][:, None]
+    def pick(carry, slot):
+        alive, out_ids = carry
+        dmask = jnp.where(alive, d_p, _BIG)
+        best_d = jnp.min(dmask, axis=1, keepdims=True)  # [C, 1]
+        ok = best_d[:, 0] < _BIG
+        # First alive candidate achieving the min (mask-based, no argmin gather).
+        is_best = (dmask == best_d) & alive
+        first = jnp.cumsum(is_best.astype(jnp.int32), axis=1) == 1
+        is_best = is_best & first
+        best_id = jnp.sum(jnp.where(is_best, cand_ids, 0), axis=1)
+        best_id = jnp.where(ok, best_id, -1)
+        out_ids = jnp.where(out_cols == slot, best_id[:, None], out_ids)
+        # Occlusion: alpha * d(c*, x) <= d(p, x) kills x (incl. c* itself).
+        bv16 = jnp.sum(
+            jnp.where(is_best[:, :, None], cv16, 0), axis=1
+        )  # [C, d] bf16 (exact select-sum)
+        bn = jnp.sum(jnp.where(is_best, cn, 0), axis=1, keepdims=True)
         d_cx = bn + cn - 2.0 * jnp.einsum(
-            "cld,cd->cl", cv.astype(jnp.bfloat16), bv.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
+            "cld,cd->cl", cv16, bv16, preferred_element_type=jnp.float32
         )
         killed = alpha * jnp.maximum(d_cx, 0.0) <= d_p
         alive = alive & ~killed & ok[:, None]
-        return (alive, out_ids, slot + 1), None
+        return (alive, out_ids), None
 
     out_ids = jnp.full((c, r_out), -1, jnp.int32)
-    (alive, out_ids, _), _ = jax.lax.scan(
-        pick, (valid, out_ids, jnp.int32(0)), None, length=r_out
+    (alive, out_ids), _ = jax.lax.scan(
+        pick, (valid, out_ids), jnp.arange(r_out, dtype=jnp.int32)
     )
     return out_ids

