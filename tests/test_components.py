@@ -1,0 +1,321 @@
+"""Tests for caches, cloud stores, policies, metrics, resource controller,
+WriteBatch, background loops (reference: internal/cache, blobstore/s3,
+engine/policy.go, engine/metrics.go, internal/resource, engine/batch.go)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from vecgo_tpu.blobstore import MemoryStore
+from vecgo_tpu.blobstore.s3 import DDBCommitStore, S3ExpressStore, S3Store
+from vecgo_tpu.engine import Engine, EngineOptions
+from vecgo_tpu.engine.metrics import CountingObserver
+from vecgo_tpu.engine.policy import (
+    BoundedSizeTieredPolicy,
+    LeveledPolicy,
+    SegmentView,
+    SizeTieredPolicy,
+)
+from vecgo_tpu.engine.resource import Controller, RateLimiter
+from vecgo_tpu.errors import ErrBackpressure, ErrConflict, ErrNotFound
+from vecgo_tpu.storage.cache import (
+    CachingStore,
+    DiskCache,
+    LRUCache,
+    ShardedLRUCache,
+    TieredCache,
+)
+from vecgo_tpu.utils import testutil as tu
+
+D = 8
+
+
+# ---------------- caches ----------------
+
+
+def test_lru_eviction_and_stats():
+    c = LRUCache(100)
+    c.put("a", b"x" * 40)
+    c.put("b", b"y" * 40)
+    assert c.get("a") == b"x" * 40
+    c.put("c", b"z" * 40)  # evicts b (a was touched)
+    assert c.get("b") is None
+    assert c.get("a") is not None
+    st = c.stats()
+    assert st["used_bytes"] <= 100 and st["hits"] == 2 and st["misses"] == 1
+
+
+def test_sharded_lru_concurrent():
+    c = ShardedLRUCache(1 << 20, shards=8)
+    errs = []
+
+    def worker(t):
+        try:
+            for i in range(200):
+                c.put((t, i), bytes([t]) * 10)
+                assert c.get((t, i)) == bytes([t]) * 10
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(t,)) for t in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+
+
+def test_disk_cache_recovery(tmp_path):
+    dc = DiskCache(str(tmp_path), 1 << 20)
+    dc.put(("f", 0), b"hello")
+    assert dc.get(("f", 0)) == b"hello"
+    dc2 = DiskCache(str(tmp_path), 1 << 20)  # directory-scan recovery
+    assert dc2.get(("f", 0)) == b"hello"
+
+
+def test_tiered_and_caching_store(tmp_path):
+    inner = MemoryStore()
+    tier = TieredCache(LRUCache(1 << 20), DiskCache(str(tmp_path), 1 << 20))
+    cs = CachingStore(inner, cache=tier, block_size=8)
+    cs.put("blob", b"0123456789abcdef")
+    assert cs.get("blob") == b"0123456789abcdef"
+    # serve from cache even after inner deletion (read-through semantics)
+    inner.delete("blob")
+    assert cs.cache.get(("blob", 0)) == b"01234567"
+
+
+def test_caching_store_with_engine():
+    inner = MemoryStore()
+    cs = CachingStore(inner, cache=ShardedLRUCache(1 << 24), block_size=1 << 16)
+    eng = Engine.open(cs, EngineOptions(dim=D, flush_threshold=10**9), create=True)
+    x = tu.gaussian_vectors(50, D, seed=91)
+    ids = eng.insert_batch(x)
+    eng.commit()
+    eng2 = Engine.open(cs, EngineOptions())
+    assert eng2.search(x[1], k=1)[0].id == ids[1]
+
+
+# ---------------- cloud stores (fake client) ----------------
+
+
+class FakeS3Client:
+    def __init__(self):
+        self.objects = {}
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        if IfNoneMatch == "*" and Key in self.objects:
+            e = Exception("precondition")
+            e.response = {"Error": {"Code": "PreconditionFailed"}}
+            raise e
+        self.objects[Key] = bytes(Body)
+
+    def get_object(self, Bucket, Key):
+        if Key not in self.objects:
+            e = Exception("missing")
+            e.response = {"Error": {"Code": "NoSuchKey"}}
+            raise e
+        return {"Body": self.objects[Key]}
+
+    def head_object(self, Bucket, Key):
+        if Key not in self.objects:
+            e = Exception("missing")
+            e.response = {"Error": {"Code": "NotFound"}}
+            raise e
+        return {"ContentLength": len(self.objects[Key])}
+
+    def delete_object(self, Bucket, Key):
+        self.objects.pop(Key, None)
+
+    def list_objects_v2(self, Bucket, Prefix="", **kw):
+        return {
+            "Contents": [{"Key": k} for k in sorted(self.objects) if k.startswith(Prefix)],
+            "IsTruncated": False,
+        }
+
+
+def test_s3_store_crud():
+    s3 = S3Store(FakeS3Client(), "bucket", prefix="db1")
+    s3.put("a.bin", b"data")
+    assert s3.get("a.bin") == b"data"
+    assert s3.size("a.bin") == 4
+    assert s3.list() == ["a.bin"]
+    with pytest.raises(ErrNotFound):
+        s3.get("missing")
+    s3.delete("a.bin")
+    assert s3.list() == []
+
+
+def test_s3_express_cas():
+    s3 = S3ExpressStore(FakeS3Client(), "bucket")
+    s3.put_if_not_exists("CURRENT", b"1")
+    with pytest.raises(ErrConflict):
+        s3.put_if_not_exists("CURRENT", b"2")
+
+
+class FakeDDB:
+    def __init__(self):
+        self.items = {}
+
+    def put_item(self, TableName, Item, ConditionExpression=None,
+                 ExpressionAttributeValues=None):
+        key = Item["db"]["S"]
+        cur = self.items.get(key)
+        if ConditionExpression == "attribute_not_exists(db)" and cur is not None:
+            e = Exception("conditional")
+            e.response = {"Error": {"Code": "ConditionalCheckFailedException"}}
+            raise e
+        if ConditionExpression == "version = :prev":
+            prev = int(ExpressionAttributeValues[":prev"]["N"])
+            if cur is None or int(cur["version"]["N"]) != prev:
+                e = Exception("conditional")
+                e.response = {"Error": {"Code": "ConditionalCheckFailedException"}}
+                raise e
+        self.items[key] = Item
+
+    def get_item(self, TableName, Key):
+        item = self.items.get(Key["db"]["S"])
+        return {"Item": item} if item else {}
+
+
+def test_ddb_commit_store_cas():
+    ddb = DDBCommitStore(FakeDDB(), "commits", "mydb")
+    assert ddb.current_version() is None
+    ddb.commit_version(1, expect_previous=None)
+    ddb.commit_version(2, expect_previous=1)
+    with pytest.raises(ErrConflict):
+        ddb.commit_version(3, expect_previous=1)  # lost race
+    assert ddb.current_version() == 2
+
+
+# ---------------- policies ----------------
+
+
+def test_size_tiered_policy():
+    p = SizeTieredPolicy(threshold=3)
+    segs = [SegmentView(i, 0, 100, 100) for i in range(3)]
+    assert sorted(p.pick(segs)) == [0, 1, 2]
+    segs = [SegmentView(0, 0, 100, 100), SegmentView(1, 0, 100_000, 100_000)]
+    assert p.pick(segs) is None
+    # tombstone-driven rewrite
+    segs = [SegmentView(0, 0, 100, 50)]
+    assert p.pick(segs) == [0]
+
+
+def test_bounded_policy_caps_merge():
+    p = BoundedSizeTieredPolicy(threshold=3, max_merge_rows=250)
+    segs = [SegmentView(i, 0, 100, 100) for i in range(4)]
+    picked = p.pick(segs)
+    assert picked is not None and len(picked) == 2
+
+
+def test_leveled_policy():
+    p = LeveledPolicy(base_rows=100, fanout=10, max_level_segments=2)
+    segs = [SegmentView(i, 0, 100, 100) for i in range(3)]  # too many at L0
+    picked = p.pick(segs)
+    assert sorted(picked) == [0, 1, 2]
+    segs = [SegmentView(0, 0, 100, 100), SegmentView(1, 1, 500, 500)]
+    assert p.pick(segs) is None
+
+
+def test_engine_with_leveled_policy():
+    eng = Engine.open(
+        MemoryStore(),
+        EngineOptions(
+            dim=D,
+            flush_threshold=10**9,
+            graph_threshold=1 << 40,
+            compaction_policy=LeveledPolicy(base_rows=50, max_level_segments=2),
+        ),
+        create=True,
+    )
+    x = tu.gaussian_vectors(150, D, seed=92)
+    for s in range(0, 150, 50):
+        eng.insert_batch(x[s : s + 50])
+        eng.commit()
+    assert len(eng._segments) <= 2
+    assert eng.search(x[0], k=1)[0].distance < 1e-5
+
+
+# ---------------- metrics / resource ----------------
+
+
+def test_counting_observer_wired():
+    obs = CountingObserver()
+    eng = Engine.open(
+        MemoryStore(),
+        EngineOptions(dim=D, flush_threshold=10**9, observer=obs),
+        create=True,
+    )
+    x = tu.gaussian_vectors(20, D, seed=93)
+    ids = eng.insert_batch(x)
+    eng.delete(ids[0])
+    eng.search(x[1], k=2)
+    eng.commit()
+    assert obs.counters["inserts"] == 20
+    assert obs.counters["deletes"] == 1
+    assert obs.counters["searches"] == 1
+    assert obs.counters["flushes"] == 1
+
+
+def test_resource_controller_backpressure():
+    c = Controller(memory_limit_bytes=100)
+    c.acquire(60)
+    with pytest.raises(ErrBackpressure):
+        c.acquire(50)
+    c.release(60)
+    c.acquire(50)
+
+
+def test_rate_limiter():
+    rl = RateLimiter(bytes_per_s=10_000, burst=1000)
+    t0 = time.monotonic()
+    rl.throttle(1000)  # burst covers it
+    assert time.monotonic() - t0 < 0.05
+    rl.throttle(2000)  # must refill to the burst gate (~0.1s) and go into debt
+    assert time.monotonic() - t0 > 0.09
+    t1 = time.monotonic()
+    rl.throttle(500)  # pays down the debt first
+    assert time.monotonic() - t1 > 0.09
+
+
+# ---------------- write batch / background ----------------
+
+
+def test_write_batch_atomic():
+    eng = Engine.open(
+        MemoryStore(), EngineOptions(dim=D, flush_threshold=10**9), create=True
+    )
+    x = tu.gaussian_vectors(10, D, seed=94)
+    ids = eng.insert_batch(x[:5])
+    wb = eng.write_batch()
+    for i in range(5, 10):
+        wb.insert(x[i], {"i": i})
+    wb.delete(ids[0])
+    new_ids = wb.apply()
+    assert len(new_ids) == 5
+    assert eng.stats()["live_rows"] == 9
+    assert eng.search(x[7], k=1)[0].id == new_ids[2]
+
+
+def test_background_flush_compact():
+    eng = Engine.open(
+        MemoryStore(),
+        EngineOptions(
+            dim=D,
+            flush_threshold=40,
+            auto_flush=False,  # only the background thread flushes
+            flush_interval_s=0.05,
+            graph_threshold=1 << 40,
+        ),
+        create=True,
+    )
+    eng.start_background()
+    x = tu.gaussian_vectors(100, D, seed=95)
+    eng.insert_batch(x)
+    deadline = time.time() + 10
+    while time.time() < deadline and eng.stats()["memtable_rows"] > 0:
+        time.sleep(0.1)
+    st = eng.stats()
+    assert st["memtable_rows"] == 0 and st["segment_rows"] == 100
+    eng.close()  # stops background threads
+    assert eng.search is not None

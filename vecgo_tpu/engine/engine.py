@@ -782,6 +782,8 @@ class Engine:
             dead = sum(
                 self._tombstones.count(h.seg_id) for h in self._segments
             )
+            mem_dead = self.memtable.deleted_mask(len(self.memtable))
+            dead += int(mem_dead.sum()) if mem_dead is not None else 0
             return {
                 "version": self._version,
                 "lsn": self._lsn,

@@ -56,10 +56,16 @@ class RateLimiter:
         self._lock = threading.Lock()
 
     def throttle(self, nbytes: int) -> float:
-        """Blocks until nbytes may proceed; returns seconds slept."""
+        """Blocks until nbytes may proceed; returns seconds slept.
+
+        Requests larger than the burst are allowed by letting the bucket go
+        negative (debt), so a single oversized write throttles *subsequent*
+        writes instead of deadlocking.
+        """
         if self.rate <= 0:
             return 0.0
         slept = 0.0
+        gate = min(float(nbytes), self.burst)
         while True:
             with self._lock:
                 now = time.monotonic()
@@ -67,9 +73,10 @@ class RateLimiter:
                     self.burst, self._tokens + (now - self._last) * self.rate
                 )
                 self._last = now
-                if self._tokens >= nbytes:
-                    self._tokens -= nbytes
+                if self._tokens >= gate:
+                    self._tokens -= nbytes  # may go negative (debt)
                     return slept
-                need = (nbytes - self._tokens) / self.rate
-            time.sleep(min(need, 0.1))
-            slept += min(need, 0.1)
+                need = (gate - self._tokens) / self.rate
+            step = min(need, 0.1)
+            time.sleep(step)
+            slept += step

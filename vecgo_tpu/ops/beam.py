@@ -96,10 +96,14 @@ def beam_search(
     w = beam_width
     m = w * r
     if max_steps == 0:
-        # Enough for every list slot to be expanded once plus slack; capping
-        # here (instead of ef steps) is a large win: one straggler query
-        # otherwise keeps the whole batch iterating.
-        max_steps = ef // w + 6
+        # Enough steps to (a) expand every list slot once (ef/W) and (b) walk
+        # from the entry point to a query's neighborhood (~graph diameter,
+        # which grows with log N). Capping here (instead of ef steps) matters:
+        # one straggler query otherwise keeps the whole batch iterating.
+        import math
+
+        n = vectors.shape[0]
+        max_steps = ef // w + 8 + int(math.ceil(math.log2(max(n, 2))))
 
     qf = q.astype(jnp.float32)
     q16 = q.astype(jnp.bfloat16)

@@ -147,8 +147,13 @@ def _blockwise_search_jit(
             compute_dtype=compute_dtype,
         )
         scores = _apply_mask(scores, mblk[None, :])
-        sel = topk_smallest if exact else topk_smallest_fast
-        d_loc, i_loc = sel(scores, min(k, block_rows))
+        if exact:
+            d_loc, i_loc = topk_smallest(scores, min(k, block_rows))
+        else:
+            # Over-fetch per block: recall@k of the final merge is much higher
+            # than the per-op recall_target when k_block > k.
+            k_block = min(max(2 * k, 32), block_rows)
+            d_loc, i_loc = topk_smallest_fast(scores, k_block)
         i_loc = i_loc + bi * block_rows
         carry = merge_topk_sorted(d_run, i_run, d_loc, i_loc.astype(jnp.int32), k)
         return carry, None
@@ -197,7 +202,8 @@ def _blockwise_scored_jit(q, enc, mask, extra, score_fn, k, block_rows, n_valid)
         if blk_mask is not None:
             valid = valid & blk_mask[None, :]
         scores = jnp.where(valid, scores, _INF)
-        d_loc, i_loc = topk_smallest_fast(scores, min(k, block_rows))
+        k_block = min(max(2 * k, 32), block_rows)
+        d_loc, i_loc = topk_smallest_fast(scores, k_block)
         carry = merge_topk_sorted(
             carry[0], carry[1], d_loc, (i_loc + bi * block_rows).astype(jnp.int32), k
         )
