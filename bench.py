@@ -111,24 +111,31 @@ def main():
 
     results = {}  # name -> (qps, recall)
 
-    # ---------------- flat exact scan ----------------
+    # ---------------- flat exact scan (bf16 fast + f32-HIGH near-exact) ----
     if mode in ("auto", "flat"):
         log("flat exact scan...")
         xb16 = jnp.asarray(x, jnp.bfloat16)
 
-        def flat_run(queries):
+        def flat16(queries):
             return T.blockwise_topk_search(
                 queries, xb16, K, metric=Metric.L2, x_norms_sq=rnorm2,
                 block_rows=min(131072, n), compute_dtype=jnp.bfloat16,
             )
 
-        _, ids = flat_run(qd)
-        rec = recall(np.asarray(ids))
-        dt = _timed(lambda: flat_run(qb)[1])
-        results["flat_exact"] = (batch / dt, rec)
-        extras["flat_qps"] = round(batch / dt, 1)
-        extras["flat_recall"] = round(rec, 4)
-        extras["flat_ms_per_batch"] = round(dt * 1e3, 1)
+        def flat32(queries):
+            return T.blockwise_topk_search(
+                queries, xd, K, metric=Metric.L2, x_norms_sq=rnorm2,
+                block_rows=min(131072, n),
+            )
+
+        for name, fn in (("flat_bf16", flat16), ("flat_f32", flat32)):
+            _, ids = fn(qd)
+            rec = recall(np.asarray(ids))
+            dt = _timed(lambda: fn(qb)[1])
+            results[name] = (batch / dt, rec)
+            extras[f"{name}_qps"] = round(batch / dt, 1)
+            extras[f"{name}_recall"] = round(rec, 4)
+            extras[f"{name}_ms_per_batch"] = round(dt * 1e3, 1)
 
     # ---------------- vamana ----------------
     if mode in ("auto", "vamana"):

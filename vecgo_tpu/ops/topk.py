@@ -150,10 +150,10 @@ def _blockwise_search_jit(
         if exact:
             d_loc, i_loc = topk_smallest(scores, min(k, block_rows))
         else:
-            # Over-fetch per block: recall@k of the final merge is much higher
-            # than the per-op recall_target when k_block > k.
-            k_block = min(max(2 * k, 32), block_rows)
-            d_loc, i_loc = topk_smallest_fast(scores, k_block)
+            # NOTE: over-fetching here (k_block > k) was measured 5x slower in
+            # approx_min_k for no recall gain — selection losses are not at the
+            # boundary; ranking noise is precision-driven (see distance._matmul).
+            d_loc, i_loc = topk_smallest_fast(scores, min(k, block_rows))
         i_loc = i_loc + bi * block_rows
         carry = merge_topk_sorted(d_run, i_run, d_loc, i_loc.astype(jnp.int32), k)
         return carry, None
@@ -202,8 +202,7 @@ def _blockwise_scored_jit(q, enc, mask, extra, score_fn, k, block_rows, n_valid)
         if blk_mask is not None:
             valid = valid & blk_mask[None, :]
         scores = jnp.where(valid, scores, _INF)
-        k_block = min(max(2 * k, 32), block_rows)
-        d_loc, i_loc = topk_smallest_fast(scores, k_block)
+        d_loc, i_loc = topk_smallest_fast(scores, min(k, block_rows))
         carry = merge_topk_sorted(
             carry[0], carry[1], d_loc, (i_loc + bi * block_rows).astype(jnp.int32), k
         )

@@ -42,6 +42,7 @@ def _lloyd(x, centers, iters: int, block_rows: int):
                     centers,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGH,
                 )
             )
             assign = jnp.argmin(dmat, axis=1)
