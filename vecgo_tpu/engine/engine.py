@@ -668,10 +668,23 @@ class Engine:
             self._segments = [
                 h for h in self._segments if h.seg_id not in {i.seg_id for i in inputs}
             ] + [new_handle]
-            # Drop tombstones of compacted-away segments.
+            # Drop tombstones of compacted-away segments — but deletes that
+            # arrived AFTER the P1 snapshot refer to rows that were copied to
+            # the output; remap them onto the new segment or they'd be lost.
             tb = dict(self._tombstones.by_seg)
+            late_rows, late_lsns = [], []
             for h in inputs:
-                tb.pop(h.seg_id, None)
+                ts = tb.pop(h.seg_id, None)
+                if ts is None:
+                    continue
+                for row, lsn in zip(ts.rows, ts.lsns):
+                    if lsn > snapshot_lsn:
+                        new_loc = mapping.get((h.seg_id, int(row)))
+                        if new_loc is not None:
+                            late_rows.append(new_loc[1])
+                            late_lsns.append(int(lsn))
+            if late_rows:
+                tb[out_seg_id] = SegmentTombstones(out_seg.n, late_rows, late_lsns)
             self._tombstones = TombstoneSet(tb)
             self.pk.remap(mapping)
             self._version += 1
