@@ -210,6 +210,8 @@ class Engine:
         # Order chains by LSN.
         for chain in pk._chains.values():
             chain.sort(key=lambda e: e[0])
+        pk._dirty = {id for id, c in pk._chains.items() if len(c) > 1}
+        pk._dirty_version += 1
         self.pk = pk
 
     def _rebuild_lexical(self):

@@ -26,13 +26,37 @@ class PKIndex:
     def __init__(self):
         self._chains: Dict[int, List[Tuple[int, int, int]]] = {}
         self._lock = threading.Lock()
+        # ids with >1 chain entry (updated/deleted): only these need a
+        # per-candidate visibility check at search time; everything else is
+        # trivially visible (single immutable version).
+        self._dirty: set = set()
+        self._dirty_version = 0
+        self._dirty_cache = None  # (version, sorted int64 array)
 
     def __len__(self):
         return len(self._chains)
 
+    def _mark_dirty(self, id: int):
+        self._dirty.add(id)
+        self._dirty_version += 1
+
+    def dirty_sorted(self) -> "np.ndarray":
+        """Sorted array of multi-version ids (cached) for vectorized isin."""
+        with self._lock:
+            cache = self._dirty_cache
+            if cache is not None and cache[0] == self._dirty_version:
+                return cache[1]
+            arr = np.fromiter(self._dirty, np.int64, len(self._dirty))
+            arr.sort()
+            self._dirty_cache = (self._dirty_version, arr)
+            return arr
+
     def upsert(self, id: int, seg_id: int, row: int, lsn: int) -> None:
         with self._lock:
-            self._chains.setdefault(id, []).append((lsn, seg_id, row))
+            chain = self._chains.setdefault(id, [])
+            chain.append((lsn, seg_id, row))
+            if len(chain) > 1:
+                self._mark_dirty(id)
 
     def delete(self, id: int, lsn: int) -> bool:
         """Record a delete; returns False if id has never existed."""
@@ -41,6 +65,7 @@ class PKIndex:
             if not chain:
                 return False
             chain.append((lsn, DELETED, 0))
+            self._mark_dirty(id)
             return True
 
     def get(self, id: int, snapshot_lsn: Optional[int] = None) -> Optional[Tuple[int, int]]:
@@ -92,10 +117,17 @@ class PKIndex:
                         keep_from = i
                 if keep_from:
                     del chain[:keep_from]
-                if len(chain) == 1 and chain[0][1] == DELETED:
-                    dead.append(id)
+                if len(chain) == 1:
+                    if chain[0][1] == DELETED:
+                        dead.append(id)
+                    elif id in self._dirty:
+                        self._dirty.discard(id)
+                        self._dirty_version += 1
             for id in dead:
                 del self._chains[id]
+                self._dirty.discard(id)
+            if dead:
+                self._dirty_version += 1
 
     def scan(self, snapshot_lsn: Optional[int] = None) -> Iterator[Tuple[int, int, int]]:
         """Yield (id, seg_id, row) visible at snapshot (reference: LSN-ordered Scan)."""
@@ -143,6 +175,8 @@ class PKIndex:
             pk._chains.setdefault(int(ids[i]), []).append(
                 (int(lsns[i]), int(segs[i]), int(rows[i]))
             )
+        pk._dirty = {id for id, c in pk._chains.items() if len(c) > 1}
+        pk._dirty_version += 1
         return pk
 
     @staticmethod
@@ -156,4 +190,6 @@ class PKIndex:
                 pk._chains.setdefault(int(seg.ids[row]), []).append(
                     (0, seg.seg_id, row)
                 )
+        pk._dirty = {id for id, c in pk._chains.items() if len(c) > 1}
+        pk._dirty_version += 1
         return pk

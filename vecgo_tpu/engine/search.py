@@ -190,17 +190,31 @@ def search_snapshot(
 
     t_rerank = time.perf_counter()
 
-    # ---------------- host merge + visibility ----------------
+    # ---------------- host merge + visibility (vectorized) ----------------
     b = q.shape[0]
     all_d = []
     all_rows = []
     all_seg = []
+    all_ids = []
+    all_lsns = []
+    mem_ids = np.asarray(snap.memtable.ids[: snap.mem_rows], np.int64) if snap.mem_rows else None
+    mem_lsns = np.asarray(snap.memtable.lsns[: snap.mem_rows], np.int64) if snap.mem_rows else None
+    segmap = {h.seg_id: h.segment for h in snap.segments}
     for seg_id, d, rows in reranked:
         dn = np.asarray(d)
         rn = np.asarray(rows)
-        all_d.append(dn)
+        safe = np.maximum(rn, 0)
+        if seg_id == -1:
+            ids_src, lsns_src = mem_ids, mem_lsns
+        else:
+            seg = segmap[seg_id]
+            ids_src = seg.ids.astype(np.int64, copy=False)
+            lsns_src = seg.lsns
+        all_d.append(np.where(rn >= 0, dn, np.inf))
         all_rows.append(rn)
         all_seg.append(np.full_like(rn, seg_id))
+        all_ids.append(np.where(rn >= 0, ids_src[safe], -1))
+        all_lsns.append(np.where(rn >= 0, lsns_src[safe], -1))
     if not all_d:
         empty_ids = np.full((b, k), -1, np.int64)
         empty_d = np.full((b, k), np.inf, np.float32)
@@ -209,48 +223,49 @@ def search_snapshot(
         return empty_ids, empty_d, [[] for _ in range(b)], stats
 
     D = np.concatenate(all_d, axis=1)
-    R = np.concatenate(all_rows, axis=1)
-    S = np.concatenate(all_seg, axis=1)
     order = np.argsort(D, axis=1, kind="stable")
+    D = np.take_along_axis(D, order, axis=1)
+    R = np.take_along_axis(np.concatenate(all_rows, axis=1), order, axis=1)
+    S = np.take_along_axis(np.concatenate(all_seg, axis=1), order, axis=1)
+    IDS = np.take_along_axis(np.concatenate(all_ids, axis=1), order, axis=1)
+    LSNS = np.take_along_axis(np.concatenate(all_lsns, axis=1), order, axis=1)
 
-    out_ids = np.full((b, k), -1, np.int64)
-    out_d = np.full((b, k), np.inf, np.float32)
-    out_loc: List[List] = [[] for _ in range(b)]
-    mem_ids = np.asarray(snap.memtable.ids[: snap.mem_rows], np.int64) if snap.mem_rows else None
-    mem_lsns = np.asarray(snap.memtable.lsns[: snap.mem_rows], np.int64) if snap.mem_rows else None
-    segmap = {h.seg_id: h.segment for h in snap.segments}
+    valid = np.isfinite(D) & (R >= 0)
+    # MVCC visibility fast path: ids with a single chain version are trivially
+    # visible; only multi-version ("dirty") ids need a chain lookup.
+    dirty = pk.dirty_sorted()
+    if len(dirty):
+        from vecgo_tpu.engine.pk import DELETED
 
-    from vecgo_tpu.engine.pk import DELETED
+        flagged = valid & np.isin(IDS, dirty, assume_unique=False)
+        for bi, j in zip(*np.nonzero(flagged)):
+            ent = pk.get_entry(int(IDS[bi, j]), snap.lsn)
+            if ent is None or ent[1] == DELETED or ent[0] != int(LSNS[bi, j]):
+                valid[bi, j] = False
+        # Dedup within a row can only involve dirty ids (single-version ids
+        # exist in exactly one physical location).
+        for bi in set(np.nonzero(flagged.any(axis=1))[0]):
+            seen = set()
+            for j in range(valid.shape[1]):
+                if not valid[bi, j]:
+                    continue
+                cid = int(IDS[bi, j])
+                if cid in seen:
+                    valid[bi, j] = False
+                else:
+                    seen.add(cid)
 
-    for bi in range(b):
-        got = 0
-        seen = set()
-        for j in order[bi]:
-            if not np.isfinite(D[bi, j]) or got >= k:
-                break
-            seg_id = int(S[bi, j])
-            row = int(R[bi, j])
-            if row < 0:
-                continue
-            if seg_id == -1:
-                cid = int(mem_ids[row])
-                row_lsn = int(mem_lsns[row])
-            else:
-                seg = segmap[seg_id]
-                cid = int(seg.ids[row])
-                row_lsn = int(seg.lsns[row])
-            if cid in seen:
-                continue
-            # MVCC visibility: this physical row is current iff the PK chain's
-            # visible entry at the snapshot has the same insert LSN.
-            ent = pk.get_entry(cid, snap.lsn)
-            if ent is None or ent[1] == DELETED or ent[0] != row_lsn:
-                continue
-            seen.add(cid)
-            out_ids[bi, got] = cid
-            out_d[bi, got] = D[bi, j]
-            out_loc[bi].append((seg_id, row))
-            got += 1
+    # Stable-compact the first k valid entries per row.
+    sel = np.argsort(~valid, axis=1, kind="stable")[:, :k]
+    got = np.take_along_axis(valid, sel, axis=1)
+    out_ids = np.where(got, np.take_along_axis(IDS, sel, axis=1), -1)
+    out_d = np.where(got, np.take_along_axis(D, sel, axis=1), np.inf).astype(np.float32)
+    sel_seg = np.take_along_axis(S, sel, axis=1)
+    sel_row = np.take_along_axis(R, sel, axis=1)
+    out_loc: List[List] = [
+        [(int(sel_seg[bi, j]), int(sel_row[bi, j])) for j in range(k) if got[bi, j]]
+        for bi in range(b)
+    ]
 
     t_end = time.perf_counter()
     if stats:
