@@ -146,22 +146,35 @@ def main():
         l_build = int(os.environ.get("BENCH_L", 64))
         log(f"building vamana graph (r={r}, L={l_build})...")
         t0 = time.perf_counter()
-        graph, medoid = build_graph(x, r=r, l_build=l_build, block=8192)
+        graph, medoid, bcentroids, bentry = build_graph(x, r=r, l_build=l_build, block=8192)
         t_build = time.perf_counter() - t0
         extras["build_s"] = round(t_build, 1)
         extras["build_vps"] = round(n / t_build, 1)
         # Reference build baseline: HNSW 25,368 vec/s (baseline.txt:90).
         extras["build_vs_go_hnsw"] = round(n / t_build / 25368.0, 2)
 
+        from vecgo_tpu.ops import distance as Dops
+
         trav = jnp.asarray(x, jnp.bfloat16)
         graph_dev = jnp.asarray(graph)
-        entries = jnp.asarray([medoid], jnp.int32)
+        centroids_dev = jnp.asarray(bcentroids)
+        entry_nodes_dev = jnp.asarray(bentry)
+        medoid_dev = jnp.asarray([medoid], jnp.int32)
         pool = 4 * K
+        n_probe = min(4, bcentroids.shape[0])
 
         def vam_run(queries, ef):
+            # IVF-guided entries (see index/vamana.py VamanaSegment.search).
+            cd = Dops.squared_l2(queries, centroids_dev, compute_dtype=jnp.bfloat16)
+            _, probes = T.topk_smallest(cd, n_probe)
+            per_q = jnp.take(entry_nodes_dev, probes)
+            entry = jnp.concatenate(
+                [per_q, jnp.broadcast_to(medoid_dev[None, :], (queries.shape[0], 1))],
+                axis=1,
+            )
             _, cand = beam_ops.beam_search(
-                queries, trav, rnorm2, graph_dev, entries,
-                ef=ef, k=pool, beam_width=8,
+                queries, trav, rnorm2, graph_dev, entry,
+                ef=ef, k=pool, beam_width=8, max_steps=ef // 8 + 12,
             )
             rd = _rerank_jit()(queries, cand, xd, rnorm2)
             sd, si = jax.lax.sort((rd, cand.astype(jnp.int32)), num_keys=1)

@@ -77,7 +77,7 @@ def test_ef_improves_recall(built):
 
 def test_tiny_graph():
     x = tu.gaussian_vectors(5, 8, seed=35)
-    g, medoid = build_graph(x, r=8)
+    g, medoid, _, _ = build_graph(x, r=8)
     assert g.shape == (5, 8)
     w = VamanaWriter(8, r=8)
     for i in range(5):

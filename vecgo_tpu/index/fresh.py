@@ -224,7 +224,7 @@ class FreshVamana:
         self.x[:n_new] = x_live
         self.n = n_new
         self._set_rows_device(np.arange(n_new), x_live)
-        graph, medoid = build_graph(
+        graph, medoid, _, _ = build_graph(
             x_live, r=self.r, l_build=self.l_build, alpha=self.alpha
         )
         g = np.full((self.capacity, self.r), -1, np.int32)

@@ -42,17 +42,68 @@ DEFAULT_L_BUILD = 64
 DEFAULT_ALPHA = 1.2
 
 
+def coarse_quantize(x: np.ndarray, n_centroids: int, seed: int = 42):
+    """Coarse k-means over the corpus; returns (centroids [C,d], assign [N],
+    entry_nodes [C] — the row nearest each centroid).
+
+    Used for IVF-guided graph entries: beam search starts at the entry node of
+    the query's nearest centroids instead of one global medoid, which is what
+    makes the graph navigable on strongly clustered corpora (the reference's
+    single-medoid design relies on long-range alpha edges; batched lockstep
+    search benefits far more from localized entries)."""
+    from vecgo_tpu.quantization import kmeans as km
+
+    n = x.shape[0]
+    centroids, _ = km.train_kmeans(x, n_centroids, seed=seed)
+    assign, dist = km.assign_partitions(x, centroids)
+    entry_nodes = np.zeros(n_centroids, np.int32)
+    order = np.lexsort((dist, assign))
+    seen = np.zeros(n_centroids, bool)
+    for i in order:
+        c = assign[i]
+        if not seen[c]:
+            entry_nodes[c] = i
+            seen[c] = True
+    # Empty clusters: point their entry at the global nearest row.
+    if not seen.all():
+        entry_nodes[~seen] = int(np.argmin(dist))
+    return centroids, assign, entry_nodes
+
+
+def _cluster_aware_init(n: int, r: int, assign: np.ndarray, rng) -> np.ndarray:
+    """Init graph: half cluster-local random edges + half global random.
+
+    Gives pass-1 searches a locally navigable starting graph (random-only init
+    makes early candidate generation useless on clustered data)."""
+    g = rng.integers(0, n, size=(n, r), dtype=np.int64).astype(np.int32)
+    # Local edges: random permutations within each cluster, vectorized.
+    local = r // 2
+    order = np.argsort(assign, kind="stable")
+    # For each node, pick `local` random positions within its cluster range.
+    starts = np.searchsorted(assign[order], assign)
+    ends = np.searchsorted(assign[order], assign, side="right")
+    width = np.maximum(ends - starts, 1)
+    offs = rng.integers(0, 1 << 62, size=(n, local)) % width[:, None]
+    g[:, :local] = order[starts[:, None] + offs]
+    g[g == np.arange(n, dtype=np.int32)[:, None]] = -1
+    return g
+
+
 def build_graph(
     x: np.ndarray,
     r: int = DEFAULT_R,
     l_build: int = DEFAULT_L_BUILD,
     alpha: float = DEFAULT_ALPHA,
-    block: int = 4096,
+    block: int = 8192,
     seed: int = 42,
-    beam_width: int = 4,
+    beam_width: int = 8,
     passes: int = 2,
+    n_centroids: int = 0,  # 0 = auto
 ):
-    """Build a Vamana graph over x [N, d]. Returns (graph [N, r] int32, medoid)."""
+    """Build a Vamana graph over x [N, d].
+
+    Returns (graph [N, r] int32, medoid, centroids [C, d], entry_nodes [C]).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -61,7 +112,7 @@ def build_graph(
     n, d = x.shape
     rng = np.random.default_rng(seed)
     if n == 0:
-        return np.zeros((0, r), np.int32), 0
+        return np.zeros((0, r), np.int32), 0, np.zeros((0, d), np.float32), np.zeros(0, np.int32)
     if n <= r + 1:
         # Tiny graph: fully connected.
         g = np.full((n, r), -1, np.int32)
@@ -70,11 +121,15 @@ def build_graph(
             g[i, : len(others)] = others
         centroid = x.mean(0)
         medoid = int(((x - centroid) ** 2).sum(1).argmin())
-        return g, medoid
+        return g, medoid, x[medoid : medoid + 1].astype(np.float32), np.asarray([medoid], np.int32)
 
-    # Random init (reference writer.go:433 random init before passes).
-    g_init = rng.integers(0, n, size=(n, r), dtype=np.int64).astype(np.int32)
-    g_init[g_init == np.arange(n, dtype=np.int32)[:, None]] = -1
+    if n_centroids <= 0:
+        n_centroids = int(np.clip(n // 1024, 16, 4096))
+    centroids, assign, entry_nodes = coarse_quantize(x, n_centroids, seed)
+
+    # Cluster-aware init (replaces the reference's pure-random init,
+    # writer.go:433 — see _cluster_aware_init).
+    g_init = _cluster_aware_init(n, r, assign, rng)
 
     centroid = x.mean(0)
     medoid = int(((x - centroid) ** 2).sum(1).argmin())
@@ -82,13 +137,18 @@ def build_graph(
     vectors = jnp.asarray(x, jnp.float32)
     rnorm2 = jnp.sum(vectors * vectors, axis=1)
     graph = jnp.asarray(g_init)
-    entry = jnp.asarray([medoid], jnp.int32)
+    entry_nodes_dev = jnp.asarray(entry_nodes)
+    centroids_dev = jnp.asarray(centroids)
+
+    # Per-block entries: each build query starts at its own cluster's entry
+    # plus the global medoid.
+    n_entry = 2
 
     update = jax.jit(
         lambda g, rows, vals: g.at[rows].set(vals), donate_argnums=(0,)
     )
 
-    n_pad = (-n) % block
+    max_steps = l_build // beam_width + 12
     alphas = [1.0] * (passes - 1) + [alpha] if passes > 1 else [alpha]
     for a in alphas:
         # --- forward pass: blockwise search + prune ---
@@ -101,15 +161,23 @@ def build_graph(
                 )
             rows_dev = jnp.asarray(blk_rows)
             q_blk = jnp.take(vectors, rows_dev, axis=0)
+            entries_blk = np.stack(
+                [
+                    entry_nodes[assign[blk_rows]],
+                    np.full(block, medoid, np.int32),
+                ],
+                axis=1,
+            )
             _, _, cand_d, cand_ids = beam_ops.beam_search(
                 q_blk,
                 vectors,
                 rnorm2,
                 graph,
-                entry,
+                jnp.asarray(entries_blk),
                 ef=l_build,
                 k=1,
                 beam_width=beam_width,
+                max_steps=max_steps,
                 with_visited=True,
             )
             cur = jnp.take(graph, rows_dev, axis=0)
@@ -159,7 +227,7 @@ def build_graph(
                 rows_dev = rows_dev[: e - s]
             graph = update(graph, rows_dev, new_nbrs)
 
-    return np.asarray(graph), medoid
+    return np.asarray(graph), medoid, centroids, entry_nodes
 
 
 def _reverse_candidates(g: np.ndarray, cap: int, rng) -> np.ndarray:
@@ -226,13 +294,15 @@ class VamanaWriter:
     def finish(self) -> bytes:
         n = len(self._rows)
         x, ids = self._rows.stacked(self.metric)
-        graph, medoid = build_graph(
+        graph, medoid, centroids, entry_nodes = build_graph(
             x, r=self.r, l_build=self.l_build, alpha=self.alpha, seed=self.seed
         )
         sections, md_meta, cm = common.row_sections(
             x, ids, self._rows.docs, self._rows.payloads, self._rows.lsns
         )
         sections["graph"] = graph
+        sections["entry.centroids"] = centroids
+        sections["entry.nodes"] = entry_nodes
 
         quant = Q.create(self.quantizer_kind, dim=self.dim, **self.qparams)
         if self.quantizer_kind != "none" and n:
@@ -279,6 +349,9 @@ class VamanaSegment:
         self.rnorm2: np.ndarray = sections["rnorm2"]
         self.lsns: np.ndarray = sections.get("lsns", np.zeros(self.n, np.int64))
         self.graph: np.ndarray = sections["graph"]
+        # IVF-guided entries (older segments without them fall back to medoid).
+        self.entry_centroids: Optional[np.ndarray] = sections.get("entry.centroids")
+        self.entry_nodes: Optional[np.ndarray] = sections.get("entry.nodes")
         self.cm = ColumnarMeta.from_sections(meta["metadata"], sections)
         self._payload_data = sections.get("payload.data")
         self._payload_indptr = sections.get("payload.indptr")
@@ -310,6 +383,9 @@ class VamanaSegment:
                 "full": jnp.asarray(self.vectors),
                 "entry": jnp.asarray([self.medoid], jnp.int32),
             }
+            if self.entry_centroids is not None and len(self.entry_centroids):
+                self._dev["entry_centroids"] = jnp.asarray(self.entry_centroids)
+                self._dev["entry_nodes"] = jnp.asarray(self.entry_nodes)
         return self._dev
 
     def release_device(self):
@@ -345,15 +421,35 @@ class VamanaSegment:
         ef = max(ef, k)
         dev = self.device_state()
         dmask = jnp.asarray(mask) if mask is not None else None
+        entry = dev["entry"]
+        max_steps = 0
+        if "entry_centroids" in dev:
+            # IVF-guided entries: start each query at the entry nodes of its
+            # nearest centroids (+ global medoid); the search list converges in
+            # far fewer steps than a medoid-only walk on clustered corpora.
+            from vecgo_tpu.ops import distance as D
+            from vecgo_tpu.ops import topk as T
+
+            n_probe = min(4, dev["entry_centroids"].shape[0])
+            cd = D.squared_l2(
+                q, dev["entry_centroids"], compute_dtype=jnp.bfloat16
+            )
+            _, probes = T.topk_smallest(cd, n_probe)
+            per_q = jnp.take(dev["entry_nodes"], probes)  # [B, n_probe]
+            entry = jnp.concatenate(
+                [per_q, jnp.broadcast_to(dev["entry"][None, :], (b, 1))], axis=1
+            )
+            max_steps = ef // max(beam_width, 1) + 12
         res_d, res_i = beam_ops.beam_search(
             q,
             dev["trav"],
             dev["rnorm2"],
             dev["graph"],
-            dev["entry"],
+            entry,
             ef=ef,
             k=k,
             beam_width=beam_width,
+            max_steps=max_steps,
             mask=dmask,
         )
         return res_d, res_i

@@ -80,7 +80,7 @@ def beam_search(
     vectors,  # [N, d] (bf16 traversal copy)
     rnorm2,  # [N] f32
     graph,  # [N, R] int32, -1 padded
-    entry_ids,  # [E] int32 entry points (medoid + extras)
+    entry_ids,  # [E] shared entry points, or [B, E] per-query (IVF-guided)
     *,
     ef: int,
     k: int,
@@ -109,9 +109,13 @@ def beam_search(
     q16 = q.astype(jnp.bfloat16)
     qn = jnp.sum(qf * qf, axis=-1, keepdims=True)  # [B,1]
 
-    e = entry_ids.shape[0]
-    init_ids = jnp.broadcast_to(entry_ids[None, :], (b, e)).astype(jnp.int32)
+    e = entry_ids.shape[-1]
+    if entry_ids.ndim == 1:
+        init_ids = jnp.broadcast_to(entry_ids[None, :], (b, e)).astype(jnp.int32)
+    else:
+        init_ids = entry_ids.astype(jnp.int32)
     init_d = _score_rows(q16, qn, vectors, rnorm2, init_ids)
+    init_d = jnp.where(init_ids >= 0, init_d, _BIG)
     pad = ef - e
     cand_ids = jnp.concatenate([init_ids, jnp.full((b, pad), -1, jnp.int32)], axis=1)
     cand_d = jnp.concatenate([init_d, jnp.full((b, pad), _BIG, jnp.float32)], axis=1)
