@@ -89,6 +89,18 @@ class LocalStore(BlobStore):
         except FileNotFoundError:
             raise ErrNotFound(name)
 
+    def get_view(self, name: str):
+        """Zero-copy memory-mapped view (reference: internal/mmap — the
+        reference's mmap'd segment reads). Returns a read-only np.memmap;
+        container.unpack_container(view, copy=False) then aliases file pages,
+        so opening a large local segment costs page faults, not a full read."""
+        import numpy as np
+
+        try:
+            return np.memmap(self._path(name), dtype=np.uint8, mode="r")
+        except FileNotFoundError:
+            raise ErrNotFound(name)
+
     def delete(self, name: str) -> None:
         try:
             os.unlink(self._path(name))

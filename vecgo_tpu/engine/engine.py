@@ -156,8 +156,10 @@ class Engine:
         eng._next_id = m.next_id
         eng._next_seg_id = m.next_seg_id
         # Open segments (magic/kind dispatch — reference compaction.go:423-457).
+        # Local stores hand back zero-copy mmap views (reference: internal/mmap).
+        getter = getattr(store, "get_view", None) or store.get
         for info in m.segments:
-            data = store.get(info.name)
+            data = getter(info.name)
             seg = open_segment(data, info.seg_id, options.verify_checksum)
             h = SegmentHandle(seg, info)
             eng._segments.append(h)

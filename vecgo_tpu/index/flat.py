@@ -228,7 +228,7 @@ class FlatSegment:
 
     @staticmethod
     def open(data: bytes, seg_id: int = 0, verify_checksum: bool = True) -> "FlatSegment":
-        meta, sections = container.unpack_container(data, verify_checksum)
+        meta, sections = container.unpack_container(data, verify_checksum, copy=False)
         try:
             return FlatSegment(meta, sections, seg_id)
         except ErrCorrupt:

@@ -362,7 +362,7 @@ class VamanaSegment:
 
     @staticmethod
     def open(data: bytes, seg_id: int = 0, verify_checksum: bool = True) -> "VamanaSegment":
-        meta, sections = container.unpack_container(data, verify_checksum)
+        meta, sections = container.unpack_container(data, verify_checksum, copy=False)
         try:
             return VamanaSegment(meta, sections, seg_id)
         except ErrCorrupt:

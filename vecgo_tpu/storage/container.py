@@ -90,8 +90,8 @@ def _align(x: int) -> int:
     return (x + _ALIGN - 1) // _ALIGN * _ALIGN
 
 
-def parse_header(data: bytes) -> Tuple[dict, list]:
-    if len(data) < 16 or data[:4] != MAGIC:
+def parse_header(data) -> Tuple[dict, list]:
+    if len(data) < 16 or bytes(data[:4]) != MAGIC:
         raise ErrCorrupt("bad magic")
     try:
         _, hlen = struct.unpack("<IQ", data[4:16])
@@ -100,7 +100,7 @@ def parse_header(data: bytes) -> Tuple[dict, list]:
     if hlen > _MAX_HEADER or 16 + hlen > len(data):
         raise ErrCorrupt("header length out of range")
     try:
-        header = json.loads(data[16 : 16 + hlen])
+        header = json.loads(bytes(data[16 : 16 + hlen]))
         meta = header["meta"]
         entries = header["sections"]
         assert isinstance(entries, list)
@@ -110,10 +110,18 @@ def parse_header(data: bytes) -> Tuple[dict, list]:
 
 
 def unpack_container(
-    data: bytes, verify_checksum: bool = True, only: Optional[set] = None
+    data,
+    verify_checksum: bool = True,
+    only: Optional[set] = None,
+    copy: bool = True,
 ) -> Tuple[dict, Dict[str, np.ndarray]]:
     """Parse container bytes -> (meta, {name: ndarray}). Never panics: raises
-    ErrCorrupt on malformed input."""
+    ErrCorrupt on malformed input.
+
+    `data` may be bytes or a buffer (np.memmap for zero-copy local opens);
+    copy=False returns arrays aliasing the buffer (read-only)."""
+    if isinstance(data, np.ndarray):
+        data = memoryview(data)
     meta, entries = parse_header(data)
     sections = {}
     for e in entries:
@@ -132,7 +140,8 @@ def unpack_container(
             expect = int(np.prod(shape, dtype=np.int64)) * dtype.itemsize if shape else dtype.itemsize
             if any(s < 0 for s in shape) or expect != nbytes:
                 raise ErrCorrupt(f"section {name} shape/nbytes mismatch")
-            sections[name] = np.frombuffer(raw, dtype=dtype).reshape(shape).copy()
+            arr = np.frombuffer(raw, dtype=dtype).reshape(shape)
+            sections[name] = arr.copy() if copy else arr
         except ErrCorrupt:
             raise
         except Exception as ex:
