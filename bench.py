@@ -73,6 +73,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from vecgo_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from vecgo_tpu.model import Metric
     from vecgo_tpu.ops import topk as T
 

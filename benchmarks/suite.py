@@ -1,0 +1,137 @@
+"""Engine-level benchmark suite — the analogue of the reference's
+benchmark_test 5-distribution methodology (benchmark_test/README.md,
+baseline.txt): per-distribution filtered/unfiltered QPS + recall through the
+full engine (planner, masks, MVCC, materialization), not just raw kernels.
+
+Usage:  python benchmarks/suite.py [--n 100000] [--d 128] [--batch 512]
+Prints a JSON line per config plus a summary table to stderr.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_distribution(kind: str, n: int, d: int, rng):
+    """The reference's five fixture families (benchmark_test/README.md)."""
+    if kind == "uniform":
+        x = rng.random((n, d), dtype=np.float32)
+        cats = rng.integers(0, 100, n)  # uniform categories
+    elif kind == "clustered":
+        centers = rng.standard_normal((64, d)).astype(np.float32)
+        a = rng.integers(0, 64, n)
+        x = centers[a] + 0.1 * rng.standard_normal((n, d)).astype(np.float32)
+        cats = a  # cluster-correlated categories
+    elif kind == "zipf":
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        cats = np.minimum(rng.zipf(1.5, n) - 1, 99)
+    elif kind == "correlated":
+        # category correlates with vector position (segment-local skew analogue)
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        x[:, 0] += np.arange(n) / n * 10
+        cats = (np.arange(n) * 100 // n).astype(np.int64)
+    elif kind == "adversarial":
+        # boolean-adversarial: filter matches are far from query neighborhoods
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        cats = (x[:, 0] > 0).astype(np.int64)  # filter anti-correlated w/ dist
+    else:
+        raise ValueError(kind)
+    return x, cats
+
+
+def run_config(kind, n, d, batch, k, selectivity, engine_opts):
+    import vecgo_tpu as vecgo
+    from vecgo_tpu import metadata as md
+    from vecgo_tpu.utils import testutil as tu
+
+    rng = np.random.default_rng(42)
+    x, cats = make_distribution(kind, n, d, rng)
+    db = vecgo.Open(vecgo.Memory(), vecgo.Create(dim=d, **engine_opts))
+    ids = db.insert_batch(x, metadatas=[{"cat": int(c)} for c in cats])
+    db.commit()
+
+    q = x[rng.integers(0, n, batch)] + 0.05 * rng.standard_normal(
+        (batch, d)
+    ).astype(np.float32)
+
+    out = {"dist": kind, "n": n, "d": d, "batch": batch}
+    # unfiltered
+    t0 = time.perf_counter()
+    res = db.search_batch(q, k=k)
+    dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = db.search_batch(q, k=k)
+    dt = time.perf_counter() - t0  # warm run
+    out["qps"] = round(batch / dt, 1)
+    # recall vs host brute force on a query subsample
+    sub = min(64, batch)
+    _, ti = tu.brute_force_knn(q[:sub], x, k, "l2")
+    got = np.asarray([[c.id for c in r] + [-1] * (k - len(r)) for r in res[:sub]])
+    want = np.asarray([[ids[j] for j in row] for row in ti])
+    out["recall"] = round(tu.recall_at_k(got, want), 4)
+
+    # filtered at the requested selectivity
+    n_cats = len(set(cats.tolist()))
+    want_cats = max(1, int(n_cats * selectivity))
+    f = md.isin("cat", list(range(want_cats)))
+    db.search_batch(q, k=k, filter=f)  # warm
+    t0 = time.perf_counter()
+    res_f = db.search_batch(q, k=k, filter=f)
+    out["filtered_qps"] = round(batch / (time.perf_counter() - t0), 1)
+    eligible = np.flatnonzero(np.isin(cats, np.arange(want_cats)))
+    if len(eligible) >= k:
+        _, tif = tu.brute_force_knn(q[:sub], x[eligible], k, "l2")
+        gotf = np.asarray(
+            [[c.id for c in r] + [-1] * (k - len(r)) for r in res_f[:sub]]
+        )
+        wantf = np.asarray([[ids[eligible[j]] for j in row] for row in tif])
+        out["filtered_recall"] = round(tu.recall_at_k(gotf, wantf), 4)
+    db.close()
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--selectivity", type=float, default=0.1)
+    ap.add_argument("--quantizer", default="none")
+    args = ap.parse_args()
+
+    try:
+        from vecgo_tpu.utils.jaxcache import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
+
+    opts = {}
+    if args.quantizer != "none":
+        opts["quantizer"] = args.quantizer
+    rows = []
+    for kind in ["uniform", "clustered", "zipf", "correlated", "adversarial"]:
+        log(f"running {kind}...")
+        row = run_config(
+            kind, args.n, args.d, args.batch, args.k, args.selectivity, opts
+        )
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    log(f"{'dist':<12} {'qps':>10} {'recall':>8} {'f_qps':>10} {'f_recall':>9}")
+    for r in rows:
+        log(
+            f"{r['dist']:<12} {r['qps']:>10} {r['recall']:>8} "
+            f"{r.get('filtered_qps', '-'):>10} {r.get('filtered_recall', '-'):>9}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -255,15 +255,19 @@ def search_snapshot(
                 else:
                     seen.add(cid)
 
-    # Stable-compact the first k valid entries per row.
+    # Stable-compact the first k valid entries per row (candidate width may be
+    # smaller than k on tiny corpora).
     sel = np.argsort(~valid, axis=1, kind="stable")[:, :k]
+    kk = sel.shape[1]
     got = np.take_along_axis(valid, sel, axis=1)
-    out_ids = np.where(got, np.take_along_axis(IDS, sel, axis=1), -1)
-    out_d = np.where(got, np.take_along_axis(D, sel, axis=1), np.inf).astype(np.float32)
+    out_ids = np.full((b, k), -1, np.int64)
+    out_d = np.full((b, k), np.inf, np.float32)
+    out_ids[:, :kk] = np.where(got, np.take_along_axis(IDS, sel, axis=1), -1)
+    out_d[:, :kk] = np.where(got, np.take_along_axis(D, sel, axis=1), np.inf)
     sel_seg = np.take_along_axis(S, sel, axis=1)
     sel_row = np.take_along_axis(R, sel, axis=1)
     out_loc: List[List] = [
-        [(int(sel_seg[bi, j]), int(sel_row[bi, j])) for j in range(k) if got[bi, j]]
+        [(int(sel_seg[bi, j]), int(sel_row[bi, j])) for j in range(kk) if got[bi, j]]
         for bi in range(b)
     ]
 
