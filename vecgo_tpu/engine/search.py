@@ -191,7 +191,36 @@ def search_snapshot(
     t_rerank = time.perf_counter()
 
     # ---------------- host merge + visibility (vectorized) ----------------
+    # One packed D2H transfer for all sources: per-transfer latency dominates
+    # engine throughput (measured ~24 ms/transfer through the device tunnel),
+    # so (dists, rows) of every source ship as a single [2, B, W] array
+    # (rows bitcast into the f32 payload).
     b = q.shape[0]
+    if not reranked:
+        empty_ids = np.full((b, k), -1, np.int64)
+        empty_d = np.full((b, k), np.inf, np.float32)
+        if stats:
+            stats.strategy = "empty"
+        return empty_ids, empty_d, [[] for _ in range(b)], stats
+
+    import jax
+
+    # Single packed transfer: distances ride as their raw f32 bits inside an
+    # int32 array (f32->i32 bitcast is safe; ints are never canonicalized in
+    # transit — the reverse direction would hit TPU NaN/denormal handling).
+    packed = jnp.stack(
+        [
+            jax.lax.bitcast_convert_type(
+                jnp.concatenate([d for _, d, _ in reranked], axis=1), jnp.int32
+            ),
+            jnp.concatenate(
+                [rows.astype(jnp.int32) for _, _, rows in reranked], axis=1
+            ),
+        ]
+    )
+    packed_host = np.asarray(packed)
+    dist_host = packed_host[0].view(np.float32)
+    rows_host = packed_host[1]
     all_d = []
     all_rows = []
     all_seg = []
@@ -200,9 +229,12 @@ def search_snapshot(
     mem_ids = np.asarray(snap.memtable.ids[: snap.mem_rows], np.int64) if snap.mem_rows else None
     mem_lsns = np.asarray(snap.memtable.lsns[: snap.mem_rows], np.int64) if snap.mem_rows else None
     segmap = {h.seg_id: h.segment for h in snap.segments}
+    col = 0
     for seg_id, d, rows in reranked:
-        dn = np.asarray(d)
-        rn = np.asarray(rows)
+        w = rows.shape[1]
+        dn = dist_host[:, col : col + w]
+        rn = rows_host[:, col : col + w]
+        col += w
         safe = np.maximum(rn, 0)
         if seg_id == -1:
             ids_src, lsns_src = mem_ids, mem_lsns
@@ -212,15 +244,9 @@ def search_snapshot(
             lsns_src = seg.lsns
         all_d.append(np.where(rn >= 0, dn, np.inf))
         all_rows.append(rn)
-        all_seg.append(np.full_like(rn, seg_id))
+        all_seg.append(np.full(rn.shape, seg_id, np.int32))
         all_ids.append(np.where(rn >= 0, ids_src[safe], -1))
         all_lsns.append(np.where(rn >= 0, lsns_src[safe], -1))
-    if not all_d:
-        empty_ids = np.full((b, k), -1, np.int64)
-        empty_d = np.full((b, k), np.inf, np.float32)
-        if stats:
-            stats.strategy = "empty"
-        return empty_ids, empty_d, [[] for _ in range(b)], stats
 
     D = np.concatenate(all_d, axis=1)
     order = np.argsort(D, axis=1, kind="stable")

@@ -220,6 +220,7 @@ class FlatSegment:
         self._payload_indptr = sections.get("payload.indptr")
         self._docs_data = sections.get("docs.data")
         self._docs_indptr = sections.get("docs.indptr")
+        self._doc_cache = {}
         self._dev: Optional[dict] = None
         self._score_fn = None
         self._rerank_fn = None
@@ -382,6 +383,16 @@ class FlatSegment:
         return self._payload_data[s:e].tobytes()
 
     def doc(self, row: int) -> Optional[dict]:
+        cached = self._doc_cache.get(row, False)
+        if cached is not False:
+            return cached
+        d = self._doc_uncached(row)
+        if len(self._doc_cache) > 65536:
+            self._doc_cache.clear()
+        self._doc_cache[row] = d
+        return d
+
+    def _doc_uncached(self, row: int) -> Optional[dict]:
         if self._docs_data is not None:
             s, e = self._docs_indptr[row], self._docs_indptr[row + 1]
             if e > s:

@@ -357,6 +357,7 @@ class VamanaSegment:
         self._payload_indptr = sections.get("payload.indptr")
         self._docs_data = sections.get("docs.data")
         self._docs_indptr = sections.get("docs.indptr")
+        self._doc_cache = {}
         self._dev = None
         self._rerank_fn = None
 
@@ -499,6 +500,16 @@ class VamanaSegment:
         return common.csr_lookup(self._payload_data, self._payload_indptr, row)
 
     def doc(self, row: int) -> Optional[dict]:
+        cached = self._doc_cache.get(row, False)
+        if cached is not False:
+            return cached
+        d = self._doc_uncached(row)
+        if len(self._doc_cache) > 65536:
+            self._doc_cache.clear()
+        self._doc_cache[row] = d
+        return d
+
+    def _doc_uncached(self, row: int) -> Optional[dict]:
         if self._docs_data is not None:
             raw = common.csr_lookup(self._docs_data, self._docs_indptr, row)
             return json.loads(raw) if raw else None
