@@ -1,0 +1,198 @@
+"""Pallas TPU kernel: fused exact L2 scan + in-kernel top-k.
+
+The TPU-native replacement for the reference's hot flat-scan kernels
+(internal/simd SquaredL2Batch + heap push, flat/segment.go:487-560): one kernel
+computes the [B_tile, N_tile] distance tile on the MXU and maintains a running
+per-query top-k entirely in VMEM scratch — scores never round-trip to HBM.
+
+Where it sits vs the XLA path (ops/topk.py):
+- `approx_min_k` (XLA) is the fastest selector but approximate;
+- exact `lax.top_k` over wide rows costs ~25 ms on [4096, 131072];
+- this kernel is exact and avoids materializing scores in HBM: per corpus
+  tile it extracts the tile top-k by iterative masked-min (k VPU reduces) and
+  merges into the running list with an odd-even sorting network (no sort
+  primitive needed inside kernels).
+
+Grid: (B tiles, N tiles); N innermost so the running list lives in scratch
+across a query tile's corpus sweep. Corpus tiles stream HBM->VMEM via the
+standard pallas pipeline (double-buffered by the compiler).
+
+Falls back to interpret mode off-TPU (the `noasm`/VECGO_SIMD-generic analogue;
+equivalence-tested against the jnp reference in tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Plain Python float: a jnp scalar would be captured as a kernel constant
+# (pallas requires constants to be inputs).
+_BIG = 3.0e38
+
+
+def _merge_sorted_2k(d, i, k: int):
+    """Sort [B, 2k] -> top-k via an odd-even transposition network.
+
+    Pallas-safe: only rolls + elementwise selects (no sort/gather primitives
+    inside kernels). 2k rounds of compare-exchange; k is small (10-64)."""
+    b, w = d.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+
+    def oe_round(state, r):
+        dd, ii = state
+        parity = r % 2
+        right_d = jnp.roll(dd, -1, axis=1)
+        right_i = jnp.roll(ii, -1, axis=1)
+        left_d = jnp.roll(dd, 1, axis=1)
+        left_i = jnp.roll(ii, 1, axis=1)
+        is_left = (cols % 2) == parity  # left element of its pair
+        has_partner = jnp.where(is_left, cols + 1 < w, cols - 1 >= 0)
+        pd = jnp.where(is_left, right_d, left_d)
+        pi = jnp.where(is_left, right_i, left_i)
+        # Left keeps the min of the pair, right keeps the max.
+        take = jnp.where(is_left, pd < dd, pd > dd) & has_partner
+        dd = jnp.where(take, pd, dd)
+        ii = jnp.where(take, pi, ii)
+        return (dd, ii), None
+
+    (d, i), _ = jax.lax.scan(oe_round, (d, i), jnp.arange(w, dtype=jnp.int32))
+    return d[:, :k], i[:, :k]
+
+
+def _tile_topk(scores, base, k: int):
+    """Top-k smallest of a [B, T] tile by iterative masked min (k VPU reduces).
+    Returns sorted (d [B,k], global ids [B,k])."""
+    b, t = scores.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
+
+    def pick(state, _):
+        s, outd, outi, slot = state
+        m = jnp.min(s, axis=1, keepdims=True)
+        is_min = s == m
+        first = (jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1) & is_min
+        idx = jnp.sum(jnp.where(first, cols, 0), axis=1)
+        outd = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, k), 1) == slot, m, outd
+        )
+        outi = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, k), 1) == slot,
+            (idx + base)[:, None],
+            outi,
+        )
+        s = jnp.where(first, _BIG, s)
+        return (s, outd, outi, slot + 1), None
+
+    outd = jnp.full((b, k), _BIG, jnp.float32)
+    outi = jnp.full((b, k), -1, jnp.int32)
+    (_, outd, outi, _), _ = jax.lax.scan(
+        pick, (scores, outd, outi, jnp.int32(0)), None, length=k
+    )
+    return outd, outi
+
+
+def _scan_kernel(q_ref, x_ref, rn_ref, outd_ref, outi_ref, run_d, run_i, *, k, tile_n, n_valid):
+    ni = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(ni == 0)
+    def _():
+        run_d[:] = jnp.full_like(run_d, _BIG)
+        run_i[:] = jnp.full_like(run_i, -1)
+
+    q = q_ref[:]  # [TB, d] f32
+    x = x_ref[:]  # [TILE_N, d] f32
+    rn = rn_ref[:]  # [1, TILE_N] f32
+    qn = jnp.sum(q * q, axis=1, keepdims=True)
+    prod = jax.lax.dot_general(
+        q, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    scores = qn + rn - 2.0 * prod
+    base = ni * tile_n
+    # Mask padded corpus rows.
+    cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+    scores = jnp.where(cols < n_valid, scores, _BIG)
+
+    tile_d, tile_i = _tile_topk(scores, base, k)
+    md = jnp.concatenate([run_d[:], tile_d], axis=1)
+    mi = jnp.concatenate([run_i[:], tile_i], axis=1)
+    md, mi = _merge_sorted_2k(md, mi, k)
+    run_d[:] = md
+    run_i[:] = mi
+
+    @pl.when(ni == n_tiles - 1)
+    def _():
+        outd_ref[:] = run_d[:]
+        outi_ref[:] = run_i[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_b", "tile_n", "interpret")
+)
+def pallas_l2_topk(
+    q,  # [B, d] f32
+    x,  # [N, d] f32 (N padded to tile_n multiple by caller or here)
+    rnorm2,  # [N] f32
+    k: int = 10,
+    tile_b: int = 512,
+    tile_n: int = 2048,
+    interpret: bool = False,
+):
+    """Exact L2 top-k via the fused Pallas kernel. Returns (d [B,k], i [B,k])."""
+    b, d = q.shape
+    n = x.shape[0]
+    pad_b = (-b) % tile_b
+    pad_n = (-n) % tile_n
+    if pad_b:
+        q = jnp.pad(q, ((0, pad_b), (0, 0)))
+    if pad_n:
+        x = jnp.pad(x, ((0, pad_n), (0, 0)))
+        rnorm2 = jnp.pad(rnorm2, (0, pad_n))
+    bp, np_ = q.shape[0], x.shape[0]
+
+    grid = (bp // tile_b, np_ // tile_n)
+    kernel = functools.partial(_scan_kernel, k=k, tile_n=tile_n, n_valid=n)
+    outd, outi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_b, d), lambda bi, ni: (bi, 0)),
+            pl.BlockSpec((tile_n, d), lambda bi, ni: (ni, 0)),
+            pl.BlockSpec((1, tile_n), lambda bi, ni: (0, ni)),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_b, k), lambda bi, ni: (bi, 0)),
+            pl.BlockSpec((tile_b, k), lambda bi, ni: (bi, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, k), jnp.float32),
+            jax.ShapeDtypeStruct((bp, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, k), jnp.float32),
+            pltpu.VMEM((tile_b, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q, x, rnorm2.reshape(1, -1))
+    outd = outd[:b]
+    outi = outi[:b]
+    return jnp.where(outd >= _BIG, jnp.inf, outd), jnp.where(
+        outd >= _BIG, -1, outi
+    )
+
+
+def l2_topk(q, x, rnorm2=None, k: int = 10, tile_b: int = 512, tile_n: int = 2048):
+    """Convenience wrapper: compiled on TPU, interpret mode elsewhere (the
+    VECGO_SIMD=generic / noasm analogue)."""
+    if rnorm2 is None:
+        rnorm2 = jnp.sum(jnp.asarray(x, jnp.float32) ** 2, axis=1)
+    interpret = jax.default_backend() != "tpu"
+    tile_b = min(tile_b, max(8, q.shape[0]))
+    tile_n = min(tile_n, max(128, x.shape[0]))
+    return pallas_l2_topk(
+        q, x, rnorm2, k=k, tile_b=tile_b, tile_n=tile_n, interpret=interpret
+    )
