@@ -135,6 +135,10 @@ def build_graph(
     medoid = int(((x - centroid) ** 2).sum(1).argmin())
 
     vectors = jnp.asarray(x, jnp.float32)
+    # bf16 traversal copy for build-time beam searches: random row gathers are
+    # bytes-bound above ~256 B/row (measured: 512 B rows cost 4x) — candidate
+    # generation tolerates bf16; RobustPrune keeps f32.
+    trav16 = jnp.asarray(x, jnp.bfloat16)
     rnorm2 = jnp.sum(vectors * vectors, axis=1)
     graph = jnp.asarray(g_init)
     entry_nodes_dev = jnp.asarray(entry_nodes)
@@ -170,7 +174,7 @@ def build_graph(
             )
             _, _, cand_d, cand_ids = beam_ops.beam_search(
                 q_blk,
-                vectors,
+                trav16,
                 rnorm2,
                 graph,
                 jnp.asarray(entries_blk),

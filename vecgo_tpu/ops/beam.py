@@ -119,8 +119,9 @@ def beam_search(
     pad = ef - e
     cand_ids = jnp.concatenate([init_ids, jnp.full((b, pad), -1, jnp.int32)], axis=1)
     cand_d = jnp.concatenate([init_d, jnp.full((b, pad), _BIG, jnp.float32)], axis=1)
-    # Establish the sorted-list invariant (sentinels carry _BIG -> tail).
-    cand_d, cand_ids = _sort2(cand_d, cand_ids)
+    # Establish the sorted-list invariant (sentinels carry _BIG -> tail) and
+    # drop duplicate entry points (per-query entries may repeat the medoid).
+    cand_d, cand_ids = _dedup_topk(cand_d, cand_ids, ef)
     expanded = cand_ids < 0  # sentinels count as expanded
 
     track_res = mask is not None
@@ -132,8 +133,7 @@ def beam_search(
         res_i = jnp.concatenate(
             [init_ids, jnp.full((b, kpad), -1, jnp.int32)], axis=1
         )
-        res_d, res_i = _sort2(res_d, res_i)
-        res_d, res_i = res_d[:, :k], res_i[:, :k]
+        res_d, res_i = _dedup_topk(res_d, res_i, k)
     else:
         res_d = jnp.zeros((b, 1), jnp.float32)
         res_i = jnp.zeros((b, 1), jnp.int32)
@@ -156,22 +156,37 @@ def beam_search(
         # ---- expand: gather neighbor lists ----
         nbrs = jnp.take(graph, jnp.maximum(sel_ids, 0), axis=0)  # [B, W, R]
         nbrs = jnp.where(sel_ok[:, :, None], nbrs, -1).reshape(b, m)
-        valid_new = nbrs >= 0
-        # Dedup vs the current list and within the new batch (keep first).
-        dup_list = (nbrs[:, :, None] == cand_ids[:, None, :]).any(-1)
-        eq_new = nbrs[:, :, None] == nbrs[:, None, :]
-        earlier = jnp.tril(jnp.ones((m, m), bool), k=-1)[None]
-        fresh = valid_new & ~dup_list & ~(eq_new & earlier).any(-1)
+        fresh = nbrs >= 0
 
         # ---- score ----
         d_new = _score_rows(q16, qn, vectors, rnorm2, nbrs)
         d_new = jnp.where(fresh, d_new, _BIG)
 
-        # ---- merge into the sorted ef-list: one 3-operand sort ----
+        # ---- merge into the sorted ef-list ----
+        # Dedup by id via a (id, dist)-keyed sort: duplicate ids land adjacent
+        # (min-dist copy first); kill the later copies, then re-sort by dist.
+        # Two multi-operand sorts are O(B*(ef+M)) — replacing O(B*M^2)
+        # compare matrices that dominated wide-beam build steps.
         all_d = jnp.concatenate([cand_d, d_new], axis=1)
         all_i = jnp.concatenate([cand_ids, nbrs], axis=1)
-        all_e = jnp.concatenate([expanded, ~fresh], axis=1).astype(jnp.int8)
-        sd, si, se = jax.lax.sort((all_d, all_i, all_e), num_keys=1)
+        all_e = jnp.concatenate([expanded, jnp.zeros_like(fresh)], axis=1).astype(
+            jnp.int8
+        )
+        si, sd, se = jax.lax.sort((all_i, all_d, all_e), num_keys=2)
+        w_all = si.shape[1]
+        pos = jax.lax.broadcasted_iota(jnp.int32, si.shape, 1)
+        # The kept (first) copy must inherit "expanded" from any later copy:
+        # propagate flags backward within id-groups (2 passes cover the
+        # overwhelmingly common group sizes; larger groups may re-expand a
+        # node once, which is harmless).
+        same_next = (si == jnp.roll(si, -1, axis=1)) & (pos < w_all - 1)
+        for _ in range(2):
+            se = se | (jnp.roll(se, -1, axis=1) & same_next.astype(jnp.int8))
+        dup = (si == jnp.roll(si, 1, axis=1)) & (pos > 0) & (si >= 0)
+        sd = jnp.where(dup, _BIG, sd)
+        si = jnp.where(dup, -1, si)
+        se = jnp.where(dup, jnp.int8(1), se)
+        sd, si, se = jax.lax.sort((sd, si, se), num_keys=1)
         cand_d = sd[:, :ef]
         cand_ids = si[:, :ef]
         expanded = se[:, :ef] > 0
@@ -182,8 +197,7 @@ def beam_search(
             rd = jnp.where(allowed, d_new, _BIG)
             md = jnp.concatenate([res_d, rd], axis=1)
             mi = jnp.concatenate([res_i, nbrs], axis=1)
-            sd2, si2 = _sort2(md, mi)
-            res_d, res_i = sd2[:, :k], si2[:, :k]
+            res_d, res_i = _dedup_topk(md, mi, k)
 
         return step + 1, cand_ids, cand_d, expanded, res_d, res_i
 
@@ -204,6 +218,18 @@ def beam_search(
 def _sort2(d, i):
     sd, si = jax.lax.sort((d, i), num_keys=1)
     return sd, si
+
+
+def _dedup_topk(d, i, k: int):
+    """Unique-by-id top-k: (id, dist)-keyed sort makes duplicate ids adjacent
+    with the best copy first; kill the rest, re-sort by dist, slice k."""
+    si, sd = jax.lax.sort((i, d), num_keys=2)
+    pos = jax.lax.broadcasted_iota(jnp.int32, si.shape, 1)
+    dup = (si == jnp.roll(si, 1, axis=1)) & (pos > 0) & (si >= 0)
+    sd = jnp.where(dup, _BIG, sd)
+    si = jnp.where(dup, -1, si)
+    sd, si = jax.lax.sort((sd, si), num_keys=1)
+    return sd[:, :k], si[:, :k]
 
 
 @functools.partial(jax.jit, static_argnames=("r_out", "alpha"))
@@ -237,6 +263,12 @@ def robust_prune(
     d_p = pn + cn - 2.0 * jnp.einsum(
         "cld,cd->cl", cv16, p16, preferred_element_type=jnp.float32
     )
+    # Precompute ALL pairwise candidate distances with one MXU-shaped batched
+    # matmul; the pick loop then does pure elementwise work. This replaced a
+    # per-pick batched matvec and sped the 1M-row graph build up several-fold.
+    gram = jnp.einsum("cld,cmd->clm", cv16, cv16, preferred_element_type=jnp.float32)
+    d_all = jnp.maximum(cn[:, :, None] + cn[:, None, :] - 2.0 * gram, 0.0)  # [C,L,L]
+
     valid = (cand_ids >= 0) & (cand_ids != p_ids[:, None])
     # Dedup within candidates (keep first occurrence).
     eq = cand_ids[:, :, None] == cand_ids[:, None, :]
@@ -259,14 +291,8 @@ def robust_prune(
         best_id = jnp.where(ok, best_id, -1)
         out_ids = jnp.where(out_cols == slot, best_id[:, None], out_ids)
         # Occlusion: alpha * d(c*, x) <= d(p, x) kills x (incl. c* itself).
-        bv16 = jnp.sum(
-            jnp.where(is_best[:, :, None], cv16, 0), axis=1
-        )  # [C, d] bf16 (exact select-sum)
-        bn = jnp.sum(jnp.where(is_best, cn, 0), axis=1, keepdims=True)
-        d_cx = bn + cn - 2.0 * jnp.einsum(
-            "cld,cd->cl", cv16, bv16, preferred_element_type=jnp.float32
-        )
-        killed = alpha * jnp.maximum(d_cx, 0.0) <= d_p
+        d_cx = jnp.sum(jnp.where(is_best[:, :, None], d_all, 0.0), axis=1)  # [C, L]
+        killed = alpha * d_cx <= d_p
         alive = alive & ~killed & ok[:, None]
         return (alive, out_ids), None
 
