@@ -822,6 +822,27 @@ class Engine:
                 "pk_entries": len(self.pk),
             }
 
+    def cache_stats(self) -> dict:
+        """Block-cache stats when the store is a CachingStore
+        (reference: Engine.CacheStats engine.go:2123+)."""
+        if hasattr(self.store, "cache_stats"):
+            return self.store.cache_stats()
+        return {}
+
+    def debug_info(self) -> dict:
+        """Extended introspection (reference: Engine.DebugInfo)."""
+        with self._lock:
+            info = self.stats()
+            info["manifest_versions"] = self.manifests.list_versions()
+            info["dirty_pk_ids"] = len(self.pk.dirty_sorted())
+            info["cache"] = self.cache_stats()
+            for seg in info["segments"]:
+                h = next(x for x in self._segments if x.seg_id == seg["seg_id"])
+                if hasattr(h.segment, "graph_stats"):
+                    seg["graph"] = h.segment.graph_stats()
+                seg["stats"] = h.info.stats.get("row_count")
+            return info
+
     def close(self):
         """Checkpoint PK and close (reference: Close engine.go:2226-2258)."""
         if self._closed:
