@@ -181,3 +181,22 @@ def test_segment_stats_and_bloom():
     bloom = stats["fields"]["cat"]["bloom"]
     assert bloom_may_contain(bloom, "cat_3")
     assert not bloom_may_contain(bloom, "definitely_absent_value")
+
+
+def test_compressed_segment_roundtrip():
+    """Optional section compression (reference: diskann/compression.go LZ4/ZSTD)."""
+    x = tu.gaussian_vectors(500, D, seed=27)
+    w = FlatWriter(D, Metric.L2, compress="deflate")
+    for i in range(500):
+        w.add(x[i], i, {"c": i % 3})
+    data = w.finish()
+    seg = FlatSegment.open(data)
+    q = tu.gaussian_vectors(4, D, seed=28)
+    d, rows = seg.search(jnp.asarray(q), 5)
+    _, ti = tu.brute_force_knn(q, x, 5, "l2")
+    assert tu.recall_at_k(np.asarray(rows), ti) > 0.999
+    # corruption of compressed payload is detected
+    blob = bytearray(data)
+    blob[-20] ^= 0xFF
+    with pytest.raises(ErrCorrupt):
+        FlatSegment.open(bytes(blob))

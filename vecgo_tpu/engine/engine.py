@@ -65,6 +65,7 @@ class EngineOptions:
     schema: Optional[Schema] = None
     read_only: bool = False
     verify_checksum: bool = True
+    compress_segments: str = ""  # "" | "deflate" (reference: LZ4/ZSTD blocks)
     retention_versions: int = 10
     retention_duration_s: float = 0.0
     ef_search: int = 64
@@ -491,6 +492,7 @@ class Engine:
                         else 0
                     ),
                     seed=self.options.seed,
+                    compress=self.options.compress_segments,
                 )
                 mapping = {}
                 new_row = 0
@@ -608,6 +610,7 @@ class Engine:
                 quantizer=self.options.quantizer,
                 qparams=self.options.qparams,
                 seed=self.options.seed,
+                compress=self.options.compress_segments,
             )
             kind = "vamana"
         else:
@@ -622,6 +625,7 @@ class Engine:
                     else 0
                 ),
                 seed=self.options.seed,
+                compress=self.options.compress_segments,
             )
             kind = "flat"
         added = []  # (old_seg_id, old_row, id)

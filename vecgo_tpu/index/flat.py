@@ -45,7 +45,9 @@ class FlatWriter:
         ivf_partitions: int = 0,
         train_sample: int = 65536,
         seed: int = 42,
+        compress: str = "",
     ):
+        self.compress = compress
         self.dim = dim
         self.metric = metric
         self.quantizer_kind = quantizer
@@ -119,7 +121,7 @@ class FlatWriter:
             "metadata": md_meta,
             "stats": segment_stats(x, cm),
         }
-        return container.pack_container(meta, sections)
+        return container.pack_container(meta, sections, compress=self.compress or None)
 
 
 def segment_stats(x: np.ndarray, cm: ColumnarMeta) -> dict:

@@ -273,7 +273,9 @@ class VamanaWriter:
         quantizer: str = "none",
         qparams: Optional[dict] = None,
         seed: int = 42,
+        compress: str = "",
     ):
+        self.compress = compress
         self.dim = dim
         self.metric = metric
         self.r = r
@@ -330,7 +332,7 @@ class VamanaWriter:
             "metadata": md_meta,
             "stats": segment_stats(x, cm),
         }
-        return container.pack_container(meta, sections)
+        return container.pack_container(meta, sections, compress=self.compress or None)
 
 
 class VamanaSegment:

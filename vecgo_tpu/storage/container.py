@@ -30,30 +30,47 @@ _ALIGN = 64
 _MAX_HEADER = 1 << 30
 
 
-def pack_container(meta: dict, sections: Dict[str, np.ndarray]) -> bytes:
-    """Serialize meta + sections to container bytes."""
+def pack_container(
+    meta: dict, sections: Dict[str, np.ndarray], compress: Optional[str] = None
+) -> bytes:
+    """Serialize meta + sections to container bytes.
+
+    compress="deflate" stores each section zlib-compressed (the analogue of the
+    reference's LZ4/ZSTD block compression, diskann/compression.go:15-65);
+    checksums cover the stored (compressed) bytes.
+    """
     entries = []
-    blobs = []
     # Compute layout in two passes: header size depends on offsets, offsets on
     # header size. Serialize entries with placeholder offsets first to get a
     # stable header length (offsets rendered fixed-width).
     names = sorted(sections)
-    arrs = {}
+    payloads = {}
     for name in names:
         a = np.ascontiguousarray(sections[name])
         if a.dtype.byteorder == ">":
             a = a.astype(a.dtype.newbyteorder("<"))
-        arrs[name] = a
-        entries.append(
-            {
-                "name": name,
-                "dtype": a.dtype.str,
-                "shape": list(a.shape),
-                "offset": 0,
-                "nbytes": int(a.nbytes),
-                "crc32": zlib.crc32(a.tobytes()) & 0xFFFFFFFF,
-            }
-        )
+        raw = a.tobytes()
+        entry = {
+            "name": name,
+            "dtype": a.dtype.str,
+            "shape": list(a.shape),
+            "offset": 0,
+        }
+        if compress == "deflate":
+            stored = zlib.compress(raw, 1)
+            if len(stored) < len(raw):
+                entry["compression"] = "deflate"
+                entry["raw_nbytes"] = len(raw)
+            else:
+                stored = raw
+        elif compress in (None, "", "none"):
+            stored = raw
+        else:
+            raise ValueError(f"unknown compression {compress!r}")
+        entry["nbytes"] = len(stored)
+        entry["crc32"] = zlib.crc32(stored) & 0xFFFFFFFF
+        payloads[name] = stored
+        entries.append(entry)
 
     def render(entries):
         return json.dumps({"meta": meta, "sections": entries}).encode()
@@ -82,7 +99,7 @@ def pack_container(meta: dict, sections: Dict[str, np.ndarray]) -> bytes:
     for name, e in zip(names, entries):
         pos = out.tell()
         out.write(b"\0" * (e["offset"] - pos))
-        out.write(arrs[name].tobytes())
+        out.write(payloads[name])
     return out.getvalue()
 
 
@@ -135,6 +152,13 @@ def unpack_container(
             raw = data[off : off + nbytes]
             if verify_checksum and (zlib.crc32(raw) & 0xFFFFFFFF) != e["crc32"]:
                 raise ErrCorrupt(f"section {name} checksum mismatch")
+            if e.get("compression") == "deflate":
+                raw = zlib.decompress(bytes(raw))
+                nbytes = len(raw)
+                if nbytes != int(e.get("raw_nbytes", -1)):
+                    raise ErrCorrupt(f"section {name} decompressed size mismatch")
+            elif e.get("compression"):
+                raise ErrCorrupt(f"section {name}: unknown compression")
             dtype = np.dtype(e["dtype"])
             shape = tuple(int(s) for s in e["shape"])
             expect = int(np.prod(shape, dtype=np.int64)) * dtype.itemsize if shape else dtype.itemsize
