@@ -80,6 +80,17 @@ def run_config(kind, n, d, batch, k, selectivity, engine_opts):
     want = np.asarray([[ids[j] for j in row] for row in ti])
     out["recall"] = round(tu.recall_at_k(got, want), 4)
 
+    # single-query latency percentiles (reference: baseline.txt:84 P50/P95/P99)
+    lat = []
+    for i in range(50):
+        t0 = time.perf_counter()
+        db.search(q[i % batch], k=k)
+        lat.append(time.perf_counter() - t0)
+    lat = np.sort(lat)
+    out["p50_us"] = round(float(lat[len(lat) // 2]) * 1e6, 1)
+    out["p95_us"] = round(float(lat[int(len(lat) * 0.95)]) * 1e6, 1)
+    out["p99_us"] = round(float(lat[min(int(len(lat) * 0.99), len(lat) - 1)]) * 1e6, 1)
+
     # filtered at the requested selectivity
     n_cats = len(set(cats.tolist()))
     want_cats = max(1, int(n_cats * selectivity))
