@@ -22,6 +22,12 @@ import jax  # noqa: E402
 # explicitly so tests always run on the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite is compile-dominated (graph-search
+# programs); repeat runs hit the cache.
+from vecgo_tpu.utils.jaxcache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.expanduser("~/.cache/vecgo_tpu_xla_cpu"))
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -312,3 +312,25 @@ def test_stats_and_explain():
     assert st.total_time_s > 0
     assert len(st.explain()) > 20
     assert st.estimated_cost() > 0
+
+
+def test_time_travel_as_of_timestamp():
+    """reference: WithTimestamp (engine.go:289-313) — open latest version at or
+    before a wall-clock instant."""
+    import time as _time
+
+    store = MemoryStore()
+    eng = new_engine(store)
+    x = tu.gaussian_vectors(20, D, seed=56)
+    ids = eng.insert_batch(x[:10])
+    eng.commit()
+    _time.sleep(0.05)
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    eng.insert_batch(x[10:])
+    eng.commit()
+    old = Engine.open(store, EngineOptions(), as_of=t_mid)
+    assert old.stats()["live_rows"] == 10
+    assert old.options.read_only
+    cur = Engine.open(store, EngineOptions())
+    assert cur.stats()["live_rows"] == 20

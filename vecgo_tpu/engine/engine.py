@@ -12,7 +12,6 @@ only in vacuum() so time travel keeps working (append-only manifest history).
 
 from __future__ import annotations
 
-import json
 import threading
 import time
 from dataclasses import dataclass, field as dc_field

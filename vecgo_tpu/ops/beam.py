@@ -22,8 +22,9 @@ Design (SURVEY.md §7.1):
 Performance notes (measured on TPU v5e): per-row top_k/take_along_axis on
 [B, ef+W*R] tiles cost ~0.5-2 ms per call inside loops — they are the
 throughput limiters, NOT the gathers or matmuls. Hence:
-- list maintenance uses ONE multi-operand lax.sort per step (cheapest
-  primitive for co-sorting (dist, id, flag)),
+- list maintenance uses two multi-operand lax.sorts per step — an
+  (id, dist)-keyed sort for exact id-dedup, then a dist-keyed re-sort —
+  replacing O(B*M^2) compare matrices and all take_along_axis gathers,
 - beam selection uses rank-mask arithmetic + a masked weighted-sum extraction
   (pure VPU, no sort/gather/scatter),
 - `expanded` updates are elementwise mask ops (TPU scatter avoided).
@@ -213,11 +214,6 @@ def beam_search(
         cand_d = jnp.where(cand_d >= _BIG, _INF, cand_d)
         return res_d, res_i, cand_d, cand_ids
     return res_d, res_i
-
-
-def _sort2(d, i):
-    sd, si = jax.lax.sort((d, i), num_keys=1)
-    return sd, si
 
 
 def _dedup_topk(d, i, k: int):
