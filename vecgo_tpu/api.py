@@ -76,6 +76,12 @@ class DB:
     def search(self, q, k: int = 10, **kw):
         return self.engine.search(q, k, **kw)
 
+    def search_iter(self, q, k: int = 10, **kw):
+        """Iterator over candidates best-first (reference: SearchIter,
+        engine/search.go:120). Results are computed in one device batch; the
+        iterator form is API parity for streaming consumers."""
+        yield from self.engine.search(q, k, **kw)
+
     def search_batch(self, qs, k: int = 10, **kw):
         return self.engine.search_batch(qs, k, **kw)
 
