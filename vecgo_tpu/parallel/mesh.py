@@ -123,9 +123,14 @@ class ShardedFlat:
         if self._search_fn is None or self._search_k != k:
             self._search_fn = self._build_search(k)
             self._search_k = k
-        qd = jnp.asarray(q, jnp.float32)
+        # Normalize on host and device_put straight onto the mesh: jnp.asarray
+        # would commit to the default device, which may be a different backend
+        # (e.g. the real TPU while the mesh is the virtual CPU one).
+        qd = np.asarray(q, np.float32)
         if self.metric == Metric.COSINE:
-            qd = D.normalize(qd)
+            qd = qd / np.maximum(
+                np.linalg.norm(qd, axis=1, keepdims=True), 1e-30
+            )
         q_sharding = NamedSharding(self.mesh, P("dp", None))
         qd = jax.device_put(qd, q_sharding)
         d, i = self._search_fn(qd, self.x, self.rnorm2)
