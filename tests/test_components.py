@@ -79,9 +79,31 @@ def test_tiered_and_caching_store(tmp_path):
     cs = CachingStore(inner, cache=tier, block_size=8)
     cs.put("blob", b"0123456789abcdef")
     assert cs.get("blob") == b"0123456789abcdef"
-    # serve from cache even after inner deletion (read-through semantics)
+    # serve from cache even after inner deletion (read-through semantics):
+    # the generation-stamped block is still resident
     inner.delete("blob")
-    assert cs.cache.get(("blob", 0)) == b"01234567"
+    assert cs.cache.get(("blob", cs._generation("blob"), 0)) == b"01234567"
+
+
+def test_caching_store_invalidation():
+    """Regression (round-1 advisor, low): mutable blobs (CURRENT, rewritten
+    MANIFESTs) were cached forever — read replicas never saw new versions."""
+    inner = MemoryStore()
+    cs = CachingStore(inner, cache=LRUCache(1 << 20), block_size=8)
+    # CURRENT bypasses the cache entirely.
+    cs.put("CURRENT", b"1")
+    assert cs.get("CURRENT") == b"1"
+    inner.put("CURRENT", b"2")  # another writer swings the pointer
+    assert cs.get("CURRENT") == b"2"
+    # Regular names: put() through this store invalidates older generations.
+    cs.put("seg", b"a" * 16)
+    assert cs.get("seg") == b"a" * 16
+    cs.put("seg", b"bb")  # fewer blocks than before
+    assert cs.get("seg") == b"bb"
+    # delete() drops cached blocks too.
+    cs.delete("seg")
+    cs.put("seg", b"cc")
+    assert cs.get("seg") == b"cc"
 
 
 def test_caching_store_with_engine():

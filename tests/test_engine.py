@@ -334,3 +334,97 @@ def test_time_travel_as_of_timestamp():
     assert old.options.read_only
     cur = Engine.open(store, EngineOptions())
     assert cur.stats()["live_rows"] == 20
+
+
+def test_commit_ivf_reorder_pk_mapping():
+    """Regression (round-1 advisor, high): commit() assumed FlatWriter
+    preserves add order, but IVF partitioning permutes rows — PK then pointed
+    at the wrong rows (silent data corruption on get/delete)."""
+    eng = new_engine(ivf_rows_per_partition=64, flush_threshold=10_000_000)
+    n = 256  # >= 2*64 triggers IVF reorder with 4 partitions
+    x, _ = tu.clustered_vectors(n, D, n_clusters=4, seed=51)
+    mds = [{"i": i} for i in range(n)]
+    ids = eng.insert_batch(x, mds)
+    eng.commit()
+    assert eng._segments[0].segment.ivf_part is not None  # reorder happened
+    for i in range(n):
+        c = eng.get(ids[i])
+        np.testing.assert_allclose(c.vector, x[i], rtol=1e-6)
+        assert c.metadata == {"i": i}
+    # Deletes kill the right rows.
+    for i in (0, 100, 255):
+        eng.delete(ids[i])
+        res = eng.search(x[i], k=3)
+        assert all(c.id != ids[i] for c in res)
+    # Upsert replaces the right row.
+    upd = x[42] * 0.25 + 3.0
+    eng.insert_batch(upd[None, :], [{"u": 1}], ids=[ids[42]])
+    c = eng.get(ids[42])
+    np.testing.assert_allclose(c.vector, upd, rtol=1e-6)
+
+
+def test_recovery_update_without_close():
+    """Regression (round-1 advisor, high): _rebuild_pk replayed persisted
+    tombstones at the manifest LSN, outranking newer live versions — updated
+    ids resolved as deleted after a checkpoint-less open."""
+    store = MemoryStore()
+    eng = new_engine(store)
+    x = tu.gaussian_vectors(30, D, seed=52)
+    ids = eng.insert_batch(x[:20])
+    eng.commit()
+    upd = x[5] * 0.5 + 2.0
+    eng.insert_batch(upd[None, :], ids=[ids[5]])  # update -> tombstones old row
+    eng.insert_batch(x[20:])
+    eng.commit()
+    # Reopen WITHOUT close(): no PK checkpoint -> rebuild path.
+    eng2 = Engine.open(store, EngineOptions())
+    c = eng2.get(ids[5])
+    np.testing.assert_allclose(c.vector, upd, rtol=1e-6)
+    res = eng2.search(upd, k=1)
+    assert res[0].id == ids[5]
+    # Plain deletes still stick after rebuild.
+    eng2.delete(ids[6])
+    eng2.commit()
+    eng3 = Engine.open(store, EngineOptions())
+    with pytest.raises(ErrNotFound):
+        eng3.get(ids[6])
+
+
+def test_orphan_gc_age_gate():
+    """Regression (round-1 advisor, medium): open-time orphan GC deleted
+    young unreferenced blobs — racing an in-flight commit of another writer."""
+    store = MemoryStore()
+    eng = new_engine(store)
+    eng.insert_batch(tu.gaussian_vectors(10, D, seed=53))
+    eng.commit()
+    eng.close()
+    # Simulate another writer mid-commit: segment blob PUT, manifest not yet.
+    store.put("segment_999999.vgt", b"in-flight")
+    Engine.open(store, EngineOptions())  # default grace: must NOT delete
+    assert store.exists("segment_999999.vgt")
+    # With grace disabled the orphan is reclaimed (old behavior, opt-in).
+    Engine.open(store, EngineOptions(orphan_gc_grace_s=0.0))
+    assert not store.exists("segment_999999.vgt")
+
+
+def test_close_writes_pk_sidecar_not_manifest():
+    """close() must not rewrite the immutable MANIFEST blob in place; the PK
+    checkpoint pointer lives in the PKCURRENT sidecar."""
+    store = MemoryStore()
+    eng = new_engine(store)
+    x = tu.gaussian_vectors(25, D, seed=54)
+    ids = eng.insert_batch(x)
+    eng.insert_batch((x[3] * 2.0)[None, :], ids=[ids[3]])  # dirty chain
+    eng.commit()
+    ver = eng._version
+    manifest_before = store.get(f"MANIFEST-{ver:06d}.json")
+    eng.close()
+    assert store.get(f"MANIFEST-{ver:06d}.json") == manifest_before
+    assert store.exists("PKCURRENT")
+    eng2 = Engine.open(store, EngineOptions())
+    # Checkpoint actually used: multi-version chain survives verbatim.
+    c = eng2.get(ids[3])
+    np.testing.assert_allclose(c.vector, x[3] * 2.0, rtol=1e-6)
+    # vacuum keeps the sidecar-referenced checkpoint blob.
+    eng2.vacuum()
+    assert store.exists(f"pk_{ver:06d}.ckpt")

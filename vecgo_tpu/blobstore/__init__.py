@@ -43,6 +43,12 @@ class BlobStore(abc.ABC):
     @abc.abstractmethod
     def size(self, name: str) -> int: ...
 
+    def mtime(self, name: str) -> float:
+        """Last-modified unix time; used to age-gate orphan GC. Stores that
+        can't answer may raise ErrNotFound for unknown names only and should
+        otherwise return a best-effort timestamp."""
+        raise NotImplementedError
+
     def put_if_not_exists(self, name: str, data: bytes) -> None:
         """CAS primitive for multi-writer manifest commits (reference:
         s3/express_store.go:94-126 PutIfNotExists, ddb_commit_store.go)."""
@@ -125,6 +131,12 @@ class LocalStore(BlobStore):
         except FileNotFoundError:
             raise ErrNotFound(name)
 
+    def mtime(self, name: str) -> float:
+        try:
+            return os.path.getmtime(self._path(name))
+        except FileNotFoundError:
+            raise ErrNotFound(name)
+
     def put_if_not_exists(self, name: str, data: bytes) -> None:
         path = self._path(name)
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -146,11 +158,15 @@ class MemoryStore(BlobStore):
 
     def __init__(self):
         self._blobs: Dict[str, bytes] = {}
+        self._mtimes: Dict[str, float] = {}
         self._lock = threading.Lock()
 
     def put(self, name: str, data: bytes) -> None:
+        import time
+
         with self._lock:
             self._blobs[name] = bytes(data)
+            self._mtimes[name] = time.time()
 
     def get(self, name: str) -> bytes:
         with self._lock:
@@ -162,6 +178,7 @@ class MemoryStore(BlobStore):
     def delete(self, name: str) -> None:
         with self._lock:
             self._blobs.pop(name, None)
+            self._mtimes.pop(name, None)
 
     def list(self, prefix: str = "") -> List[str]:
         with self._lock:
@@ -174,11 +191,21 @@ class MemoryStore(BlobStore):
             except KeyError:
                 raise ErrNotFound(name)
 
+    def mtime(self, name: str) -> float:
+        with self._lock:
+            try:
+                return self._mtimes[name]
+            except KeyError:
+                raise ErrNotFound(name)
+
     def put_if_not_exists(self, name: str, data: bytes) -> None:
+        import time
+
         with self._lock:
             if name in self._blobs:
                 raise ErrConflict(f"blob {name} already exists")
             self._blobs[name] = bytes(data)
+            self._mtimes[name] = time.time()
 
 
 class FaultyStore(BlobStore):
@@ -218,6 +245,9 @@ class FaultyStore(BlobStore):
 
     def size(self, name: str) -> int:
         return self.inner.size(name)
+
+    def mtime(self, name: str) -> float:
+        return self.inner.mtime(name)
 
     def put_if_not_exists(self, name: str, data: bytes) -> None:
         if self.fail_pattern and self.fail_pattern in name and self._writes >= self.fail_after:

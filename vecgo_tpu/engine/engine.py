@@ -67,6 +67,7 @@ class EngineOptions:
     compress_segments: str = ""  # "" | "deflate" (reference: LZ4/ZSTD blocks)
     retention_versions: int = 10
     retention_duration_s: float = 0.0
+    orphan_gc_grace_s: float = 3600.0  # min age before open-time orphan GC deletes
     ef_search: int = 64
     beam_width: int = 4
     selectivity_cutoff: float = 0.30
@@ -96,6 +97,9 @@ class EngineOptions:
 
 def _seg_blob(seg_id: int) -> str:
     return f"segment_{seg_id:06d}.vgt"
+
+
+PK_SIDECAR = "PKCURRENT"  # {"version": N, "blob": "pk_%06d.ckpt"}
 
 
 class Engine:
@@ -170,16 +174,38 @@ class Engine:
         # referenced by NO manifest version (crash between put + manifest save).
         if not options.read_only:
             eng._gc_orphans()
-        # PK: checkpoint or rebuild (reference engine.go:620-712).
-        if m.pk_checkpoint and store.exists(m.pk_checkpoint):
-            eng.pk = PKIndex.from_checkpoint(store.get(m.pk_checkpoint))
+        # PK: checkpoint or rebuild (reference engine.go:620-712). Checkpoint
+        # pointer comes from the manifest (legacy) or the PKCURRENT sidecar —
+        # valid only if written at exactly this manifest version.
+        ckpt = m.pk_checkpoint
+        if ckpt is None and store.exists(PK_SIDECAR):
+            try:
+                import json as _json
+
+                sc = _json.loads(store.get(PK_SIDECAR))
+                if sc.get("version") == m.version:
+                    ckpt = sc.get("blob")
+            except Exception:
+                ckpt = None
+        if ckpt and store.exists(ckpt):
+            eng.pk = PKIndex.from_checkpoint(store.get(ckpt))
         else:
             eng._rebuild_pk()
         if options.lexical and eng._lexical is not None:
             eng._rebuild_lexical()
         return eng
 
-    def _gc_orphans(self):
+    def _gc_orphans(self, grace_s: Optional[float] = None):
+        """Delete segment blobs referenced by NO manifest version.
+
+        Age-gated: a second writer mid-commit has PUT its segment blob but not
+        yet saved the manifest — deleting young unreferenced blobs would
+        corrupt that in-flight commit (the manifest-CAS multi-writer window).
+        Blobs without a known mtime are left alone here; vacuum() reclaims
+        them explicitly.
+        """
+        if grace_s is None:
+            grace_s = self.options.orphan_gc_grace_s
         referenced = set()
         for v in self.manifests.list_versions():
             m = self.manifests.load(v)
@@ -189,29 +215,44 @@ class Engine:
                     referenced.add(s.tombstone_blob)
             if m.pk_checkpoint:
                 referenced.add(m.pk_checkpoint)
+        mtime = getattr(self.store, "mtime", None)
+        now = time.time()
         for name in self.store.list("segment_"):
-            if name not in referenced:
-                self.store.delete(name)
+            if name in referenced:
+                continue
+            if grace_s > 0:
+                if mtime is None:
+                    continue
+                try:
+                    age = now - mtime(name)
+                except ErrNotFound:
+                    continue
+                if age < grace_s:
+                    continue
+            self.store.delete(name)
 
     def _rebuild_pk(self):
         pk = PKIndex()
         for h in self._segments:
             seg = h.segment
-            dead = self._tombstones.deleted_mask(seg.seg_id, seg.n)
             for row in range(seg.n):
                 pk._chains.setdefault(int(seg.ids[row]), []).append(
                     (int(seg.lsns[row]), seg.seg_id, row)
                 )
-            if dead is not None:
-                for row in np.flatnonzero(dead):
-                    # A persisted tombstone without its delete LSN: mark deleted
-                    # as of the manifest LSN.
-                    pk._chains.setdefault(int(seg.ids[row]), []).append(
-                        (self._lsn, DELETED, 0)
+            # Replay persisted tombstones at their real per-row delete LSNs
+            # (ts.rows/ts.lsns) — replaying at the manifest LSN would outrank
+            # newer live versions of an updated id and resolve it as deleted.
+            ts = self._tombstones.by_seg.get(seg.seg_id)
+            if ts is not None:
+                for row, lsn in zip(ts.rows, ts.lsns):
+                    pk._chains.setdefault(int(seg.ids[int(row)]), []).append(
+                        (int(lsn), DELETED, 0)
                     )
-        # Order chains by LSN.
+        # Order chains by LSN. An upsert tombstones the old row with the SAME
+        # LSN as the new version; at equal LSN the DELETED entry must sort
+        # before the live one so the live version wins.
         for chain in pk._chains.values():
-            chain.sort(key=lambda e: e[0])
+            chain.sort(key=lambda e: (e[0], e[1] != DELETED))
         pk._dirty = {id for id, c in pk._chains.items() if len(c) > 1}
         pk._dirty_version += 1
         self.pk = pk
@@ -365,9 +406,14 @@ class Engine:
 
     def scan(self):
         """Yield all visible records in id order (reference: Scan engine.go:1393)."""
-        snap = self.snapshot()
+        # Capture the PK entries under the same lock as the snapshot: a
+        # concurrent flush/compaction remaps live PK entries to segments the
+        # snapshot doesn't hold, which would silently drop rows.
+        with self._lock:
+            snap = self.snapshot()
+            entries = sorted(self.pk.scan(snap.lsn))
         try:
-            for id, seg_id, row in sorted(self.pk.scan(snap.lsn)):
+            for id, seg_id, row in entries:
                 if seg_id == MEMTABLE_SEG:
                     if row >= snap.mem_rows:
                         continue
@@ -493,16 +539,23 @@ class Engine:
                     seed=self.options.seed,
                     compress=self.options.compress_segments,
                 )
-                mapping = {}
-                new_row = 0
+                added = []  # (memtable_row, id)
                 for row, rid, vec, doc, payload in mem.iterate():
                     writer.add(vec, rid, doc, payload, lsn=mem.lsns[row])
-                    mapping[(MEMTABLE_SEG, row)] = (seg_id, new_row)
-                    new_row += 1
+                    added.append((row, rid))
                 data = writer.finish()
                 blob_name = _seg_blob(seg_id)
                 self.store.put(blob_name, data)
                 seg = FlatSegment.open(data, seg_id, verify_checksum=False)
+                # FlatWriter.finish() may permute rows (IVF partitioning
+                # reorders by nearest centroid) — recover final rows via the
+                # id->row map, exactly as compact() does. Live memtable ids are
+                # unique (upserts tombstone the superseded row).
+                id_to_row = {int(seg.ids[r]): r for r in range(seg.n)}
+                mapping = {
+                    (MEMTABLE_SEG, row): (seg_id, id_to_row[rid])
+                    for row, rid in added
+                }
                 info = SegmentInfo(
                     name=blob_name,
                     seg_id=seg_id,
@@ -776,6 +829,17 @@ class Engine:
             referenced, deleted_versions = self.manifests.vacuum(
                 self.options.retention_versions, self.options.retention_duration_s
             )
+            # The PKCURRENT sidecar references a checkpoint blob outside any
+            # manifest; keep it if it matches a retained version.
+            if self.store.exists(PK_SIDECAR):
+                try:
+                    import json as _json
+
+                    sc = _json.loads(self.store.get(PK_SIDECAR))
+                    if sc.get("blob"):
+                        referenced.add(sc["blob"])
+                except Exception:
+                    pass
             deleted_blobs = []
             live = {h.info.name for h in self._segments}
             for name in self.store.list("segment_"):
@@ -847,7 +911,12 @@ class Engine:
             return info
 
     def close(self):
-        """Checkpoint PK and close (reference: Close engine.go:2226-2258)."""
+        """Checkpoint PK and close (reference: Close engine.go:2226-2258).
+
+        The checkpoint pointer goes into a PKCURRENT sidecar, NOT an in-place
+        rewrite of the current MANIFEST: manifest versions stay immutable
+        (append-only + CAS story intact; a plain S3 overwrite would be racy).
+        """
         if self._closed:
             return
         self.stop_background()
@@ -855,13 +924,12 @@ class Engine:
             if not self.options.read_only and self.manifests.exists():
                 name = f"pk_{self._version:06d}.ckpt"
                 self.store.put(name, self.pk.checkpoint_bytes())
-                m = self.manifests.load()
-                if m.version == self._version:
-                    m.pk_checkpoint = name
-                    # Rewrite in place: same version, updated checkpoint pointer.
-                    self.store.put(
-                        f"MANIFEST-{m.version:06d}.json", m.to_bytes()
-                    )
+                import json as _json
+
+                self.store.put(
+                    PK_SIDECAR,
+                    _json.dumps({"version": self._version, "blob": name}).encode(),
+                )
             self._closed = True
 
 

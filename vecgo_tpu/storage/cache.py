@@ -164,33 +164,68 @@ class TieredCache:
 
 class CachingStore(BlobStore):
     """Block-granular read-through BlobStore wrapper
-    (reference: blobstore/caching_store.go:13-69)."""
+    (reference: blobstore/caching_store.go:13-69).
 
-    def __init__(self, inner: BlobStore, cache=None, block_size: int = DEFAULT_BLOCK_SIZE):
+    Mutable blobs are handled two ways so read replicas never see stale data:
+    names matching `no_cache_prefixes` (CURRENT by default — rewritten on
+    every commit) bypass the cache entirely; every other name carries a
+    per-name generation in its cache key, bumped on put()/delete(), so
+    superseded blocks simply age out of the LRU.
+    """
+
+    NO_CACHE_PREFIXES = ("CURRENT", "PKCURRENT")
+
+    def __init__(
+        self,
+        inner: BlobStore,
+        cache=None,
+        block_size: int = DEFAULT_BLOCK_SIZE,
+        no_cache_prefixes: Optional[Tuple[str, ...]] = None,
+    ):
         self.inner = inner
         self.cache = cache or ShardedLRUCache(256 * 1024 * 1024)
         self.block_size = block_size
+        self.no_cache_prefixes = (
+            self.NO_CACHE_PREFIXES if no_cache_prefixes is None else no_cache_prefixes
+        )
+        self._gen: dict = {}
+        self._gen_lock = threading.Lock()
+
+    def _bypass(self, name: str) -> bool:
+        return any(name.startswith(p) for p in self.no_cache_prefixes)
+
+    def _generation(self, name: str) -> int:
+        with self._gen_lock:
+            return self._gen.get(name, 0)
+
+    def _bump(self, name: str) -> None:
+        with self._gen_lock:
+            self._gen[name] = self._gen.get(name, 0) + 1
 
     def get(self, name: str) -> bytes:
+        if self._bypass(name):
+            return self.inner.get(name)
+        gen = self._generation(name)
         size = self.inner.size(name)
         nblocks = (size + self.block_size - 1) // self.block_size
         parts = []
         missing = [
-            bi for bi in range(nblocks) if self.cache.get((name, bi)) is None
+            bi for bi in range(nblocks) if self.cache.get((name, gen, bi)) is None
         ]
         if len(missing) == nblocks:
             # Whole object miss: one fetch, then populate blocks.
             data = self.inner.get(name)
             for bi in range(nblocks):
                 self.cache.put(
-                    (name, bi), data[bi * self.block_size : (bi + 1) * self.block_size]
+                    (name, gen, bi),
+                    data[bi * self.block_size : (bi + 1) * self.block_size],
                 )
             return data
         for bi in range(nblocks):
-            blk = self.cache.get((name, bi))
+            blk = self.cache.get((name, gen, bi))
             if blk is None:
                 blk = self.get_range(name, bi * self.block_size, self.block_size)
-                self.cache.put((name, bi), blk)
+                self.cache.put((name, gen, bi), blk)
             parts.append(blk)
         return b"".join(parts)
 
@@ -200,21 +235,30 @@ class CachingStore(BlobStore):
 
     def put(self, name: str, data: bytes) -> None:
         self.inner.put(name, data)
-        # Write-through block population.
+        if self._bypass(name):
+            return
+        self._bump(name)
+        gen = self._generation(name)
+        # Write-through block population at the new generation.
         nblocks = (len(data) + self.block_size - 1) // self.block_size
         for bi in range(nblocks):
             self.cache.put(
-                (name, bi), data[bi * self.block_size : (bi + 1) * self.block_size]
+                (name, gen, bi),
+                data[bi * self.block_size : (bi + 1) * self.block_size],
             )
 
     def delete(self, name: str) -> None:
         self.inner.delete(name)
+        self._bump(name)
 
     def list(self, prefix: str = ""):
         return self.inner.list(prefix)
 
     def size(self, name: str) -> int:
         return self.inner.size(name)
+
+    def mtime(self, name: str) -> float:
+        return self.inner.mtime(name)
 
     def put_if_not_exists(self, name: str, data: bytes) -> None:
         self.inner.put_if_not_exists(name, data)
