@@ -52,7 +52,8 @@ class EngineOptions:
     graph_threshold: int = 32_768  # compaction output >= this -> vamana graph
     graph_r: int = 32
     graph_l_build: int = 64
-    graph_alpha: float = 1.2
+    graph_alpha: Optional[float] = None  # None = per-mode default (1.5 clustered / 1.2 beam)
+    graph_build_mode: str = "clustered"  # "clustered" (fast) | "beam"
     ivf_rows_per_partition: int = 8192  # flat IVF rule (reference: rows/8192)
     compaction_threshold: int = 4  # size-tiered trigger (reference default 4)
     compaction_policy: Any = None  # engine.policy.CompactionPolicy; None = size-tiered
@@ -659,6 +660,7 @@ class Engine:
                 r=self.options.graph_r,
                 l_build=self.options.graph_l_build,
                 alpha=self.options.graph_alpha,
+                build_mode=self.options.graph_build_mode,
                 quantizer=self.options.quantizer,
                 qparams=self.options.qparams,
                 seed=self.options.seed,

@@ -111,7 +111,7 @@ class MemTable:
             s = self._frozen_rows
             block = np.stack(self.vectors[s : s + CHUNK])
             vec = jnp.asarray(block)
-            rn = jnp.asarray((block.astype(np.float64) ** 2).sum(1).astype(np.float32))
+            rn = jnp.asarray(np.einsum("nd,nd->n", block, block, dtype=np.float64).astype(np.float32))
             self._chunks.append((vec, rn))
             self._frozen_rows += CHUNK
 

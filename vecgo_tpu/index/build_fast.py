@@ -1,0 +1,581 @@
+"""Fast clustered Vamana build: cluster-local exact KNN + RobustPrune.
+
+Reference semantics: internal/segment/diskann/writer.go:362-643 (greedySearch
+candidate generation + RobustPrune alpha occlusion + reverse edges with
+re-prune). The reference generates candidates by per-point graph SEARCH, which
+on TPU is latency-bound random gathers (~13 ns/row; docs/PERF.md "Beam
+search") — the round-1 build ran at ~2.5k rows/s because of it.
+
+TPU-first restructuring — NO graph search during build; candidates come from
+cluster-local exact KNN computed as batched [C, C] distance matmuls (brute
+force is nearly free on the MXU):
+
+  1. JL-project the corpus to 32d ON DEVICE; k-means partition + top-`overlap`
+     assignment run in the projection (the partition is a coarse filter; the
+     KNN itself scores full-dim),
+  2. each point joins its `overlap` nearest clusters (capacity-capped, primary
+     membership guaranteed),
+  3. per cluster batch: [G, C, C] full-dim bf16 distance tensor -> exact
+     top-knn per member,
+  4. NN-descent rounds on a pure-KNN working list (one fused device program),
+  5. RobustPrune with alpha occlusion (+ random far candidates for long-range
+     edge material), then a fused reverse-edge + re-prune pass.
+
+`restarts` repeats stage 1-3 under fresh projections; candidate unions from
+independent partitions compound recall nearly independently (measured: one
+restart lifts uniform-data candidate recall 0.32 -> 0.54) at pure-matmul cost.
+
+The dev-environment tunnel moves ~36 MB/s H2D / ~10 MB/s D2H, so the build is
+device-resident end-to-end: ONE bf16 corpus upload, small k-means-sample and
+membership round-trips, ONE final graph download. Production PCIe makes those
+transfers negligible; the device-side build time is the honest analogue of the
+reference's in-RAM build benchmark (baseline.txt:90).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger("vecgo_tpu")
+
+OCC_DIM = 32  # JL projection dim: partition space + RobustPrune occlusion
+
+
+def _bucket_rows(n: int, block: int = 8192) -> int:
+    """Round n up to a size bucket so differently-sized builds share compiled
+    programs (every distinct padded row count is a full XLA recompile, ~100 s
+    of one-time cost per size). Buckets: next power of two below `block`,
+    1/8-octave steps above (<= 12.5% padding overhead)."""
+    if n <= 256:
+        return 256
+    if n <= block:
+        return 1 << (n - 1).bit_length()
+    step = max(block, (1 << ((n - 1).bit_length() - 1)) // 8)
+    return ((n + step - 1) // step) * step
+
+
+def _tiny_graph(x: np.ndarray, r: int):
+    """Fully-connected graph for n <= r+1."""
+    n = x.shape[0]
+    g = np.full((n, r), -1, np.int32)
+    for i in range(n):
+        others = [j for j in range(n) if j != i]
+        g[i, : len(others)] = others
+    centroid = x.mean(0)
+    medoid = int(((x - centroid) ** 2).sum(1).argmin())
+    return g, medoid
+
+
+@functools.partial(jax.jit, static_argnames=("knn", "overlap", "n_out", "g"))
+def _cluster_knn(x16, rnorm2, members, mem_slot, knn: int, overlap: int, n_out: int, g: int):
+    """Exact KNN within every cluster, scattered into a per-point table.
+
+    x16 [N, d] bf16; members/mem_slot [K_pad, Cmax] int32 (-1 pad), K_pad % g
+    == 0. Processes g clusters per scan step (batched matmul keeps the MXU
+    busy). Returns cand [n_out+1, overlap, knn] int32 (-1 pad); row n_out is
+    the dump row for padded memberships.
+    """
+    k_pad, cmax = members.shape
+    mem_b = members.reshape(k_pad // g, g, cmax)
+    slot_b = mem_slot.reshape(k_pad // g, g, cmax)
+
+    def body(cand, inputs):
+        mem, slot = inputs  # [g, cmax]
+        valid = mem >= 0
+        safe = jnp.maximum(mem, 0)
+        v = jnp.take(x16, safe.reshape(-1), axis=0).reshape(g, cmax, -1)
+        rn = jnp.take(rnorm2, safe)
+        prod = jnp.einsum("gcd,ged->gce", v, v, preferred_element_type=jnp.float32)
+        dmat = rn[:, :, None] + rn[:, None, :] - 2.0 * prod
+        eye = jax.lax.broadcasted_iota(jnp.int32, (1, cmax, cmax), 1) == (
+            jax.lax.broadcasted_iota(jnp.int32, (1, cmax, cmax), 2)
+        )
+        dmat = jnp.where(valid[:, None, :] & ~eye, dmat, jnp.inf)
+        _, loc = jax.lax.top_k(-dmat, knn)  # [g, cmax, knn] local indices
+        gcand = jnp.take_along_axis(mem[:, None, :], loc, axis=2)
+        vtake = jnp.take_along_axis(valid[:, None, :], loc, axis=2)
+        gcand = jnp.where(vtake, gcand, -1)
+        pt = jnp.where(valid, mem, n_out)
+        cand = cand.at[pt, slot].set(gcand, mode="drop")
+        return cand, None
+
+    cand0 = jnp.full((n_out + 1, overlap, knn), -1, jnp.int32)
+    cand, _ = jax.lax.scan(body, cand0, (mem_b, slot_b))
+    return cand
+
+
+def _score_merge(w_d, w_i, cand, x16, rnorm2, kw: int, block: int):
+    """Score candidate ids and merge into the per-point working KNN list.
+
+    w_d/w_i [N_pad, Kw] current list (sorted, -1 pad); cand [N_pad, C] int32.
+    Traced helper (inlined into _descend); scan over row blocks.
+    """
+    from vecgo_tpu.ops import beam as beam_ops
+
+    n_pad, c = cand.shape
+    nb = n_pad // block
+    cand_b = cand.reshape(nb, block, c)
+    wd_b = w_d.reshape(nb, block, kw)
+    wi_b = w_i.reshape(nb, block, kw)
+
+    def body(_, inputs):
+        bi, cands, wd, wi = inputs
+        rows = bi * block + jax.lax.broadcasted_iota(jnp.int32, (block,), 0)
+        q16 = jnp.take(x16, jnp.minimum(rows, x16.shape[0] - 1), axis=0)
+        qn = jnp.take(rnorm2, jnp.minimum(rows, rnorm2.shape[0] - 1))[:, None]
+        d_new = beam_ops._score_rows(q16, qn, x16, rnorm2, jnp.maximum(cands, 0))
+        bad = (cands < 0) | (cands == rows[:, None])
+        d_new = jnp.where(bad, jnp.inf, d_new)
+        cands = jnp.where(bad, -1, cands)
+        md = jnp.concatenate([wd, d_new], axis=1)
+        mi = jnp.concatenate([wi, cands], axis=1)
+        nd, ni = beam_ops._dedup_topk(md, mi, kw)
+        return None, (nd, ni)
+
+    _, (out_d, out_i) = jax.lax.scan(
+        body, None, (jnp.arange(nb, dtype=jnp.int32), cand_b, wd_b, wi_b)
+    )
+    return out_d.reshape(n_pad, kw), out_i.reshape(n_pad, kw)
+
+
+def _reverse_dev(edges, rev_cap: int):
+    """Sampled in-edges via hash-scatter, on device (O(E), no sort): for edge
+    u->v, u lands in rev[v, h(u)]; collisions drop edges pseudo-randomly.
+    edges [N_pad, W] int32 (-1 pad). Returns [N_pad, rev_cap] int32."""
+    n_pad, w = edges.shape
+    src = jax.lax.broadcasted_iota(jnp.int32, (n_pad, w), 0)
+    h = (
+        src.astype(jnp.uint32) * jnp.uint32(2654435761) >> jnp.uint32(12)
+    ) % jnp.uint32(rev_cap)
+    dst = jnp.where(edges >= 0, edges, n_pad)  # dump row
+    rev = jnp.full((n_pad + 1, rev_cap), -1, jnp.int32)
+    return rev.at[dst, h.astype(jnp.int32)].set(src, mode="drop")[:n_pad]
+
+
+def _descent_candidates(w_i, hop_a: int, hop_b: int, rev_cap: int):
+    """NN-descent candidate generation, all on device: 2-hop samples from the
+    working lists + hash-scattered reverse edges. w_i [N_pad, Kw] (row i's
+    current approximate KNN). Returns cand [N_pad, hop_a*hop_b + rev_cap]."""
+    n_pad, kw = w_i.shape
+    nbr = w_i[:, :hop_a]
+    hop = jnp.take(w_i, jnp.maximum(nbr, 0).reshape(-1), axis=0, mode="clip")[
+        :, :hop_b
+    ].reshape(n_pad, hop_a * hop_b)
+    hop = jnp.where(jnp.repeat(nbr >= 0, hop_b, axis=1), hop, -1)
+    return jnp.concatenate([hop, _reverse_dev(w_i, rev_cap)], axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rounds", "kw", "block", "hop_a", "hop_b", "rev_cap")
+)
+def _descend(
+    cand, x16, rnorm2,
+    rounds: int, kw: int, block: int, hop_a: int, hop_b: int, rev_cap: int,
+):
+    """Initial merge + `rounds` NN-descent iterations as ONE device program.
+
+    Running the feedback loop inside a single jit avoids per-round dispatch
+    (and a tunnel-runtime async bug re-executing a program whose output feeds
+    its next input) — the rounds pipeline on device with zero host syncs.
+    Returns (w_d, w_i) [N_pad, kw].
+    """
+    n_pad = cand.shape[0]
+    w_d = jnp.full((n_pad, kw), jnp.inf, jnp.float32)
+    w_i = jnp.full((n_pad, kw), -1, jnp.int32)
+    w_d, w_i = _score_merge(w_d, w_i, cand, x16, rnorm2, kw, block)
+
+    def round_fn(carry, _):
+        w_d, w_i = carry
+        c2 = _descent_candidates(w_i, hop_a, hop_b, rev_cap)
+        return _score_merge(w_d, w_i, c2, x16, rnorm2, kw, block), None
+
+    if rounds > 0:
+        (w_d, w_i), _ = jax.lax.scan(round_fn, (w_d, w_i), None, length=rounds)
+    return w_d, w_i
+
+
+def _prune_blocks(cand_table, vectors, rnorm2, x_occ, rn_occ, r_out: int, alpha: float, block: int):
+    """RobustPrune every row of cand_table [N_pad, L] (N_pad % block == 0),
+    scanning row blocks. Traced helper. Returns [N_pad, r_out]."""
+    from vecgo_tpu.ops import beam as beam_ops
+
+    n_pad, l = cand_table.shape
+    cand_b = cand_table.reshape(n_pad // block, block, l)
+
+    def body(_, inputs):
+        bi, cands = inputs
+        rows = bi * block + jax.lax.broadcasted_iota(jnp.int32, (block,), 0)
+        vecs = jnp.take(vectors, jnp.minimum(rows, vectors.shape[0] - 1), axis=0)
+        out = beam_ops.robust_prune(
+            rows, vecs, cands, vectors, rnorm2,
+            r_out=r_out, alpha=alpha,
+            vectors_occ=x_occ, rnorm2_occ=rn_occ,
+        )
+        return None, out
+
+    _, outs = jax.lax.scan(
+        body, None, (jnp.arange(n_pad // block, dtype=jnp.int32), cand_b)
+    )
+    return outs.reshape(n_pad, r_out)
+
+
+@functools.partial(jax.jit, static_argnames=("r_out", "alpha", "block"))
+def _prune_all(cand_table, vectors, rnorm2, x_occ, rn_occ, r_out: int, alpha: float, block: int):
+    return _prune_blocks(cand_table, vectors, rnorm2, x_occ, rn_occ, r_out, alpha, block)
+
+
+@functools.partial(jax.jit, static_argnames=("r_out", "alpha", "block", "rev_cap"))
+def _prune_with_reverse(
+    graph, vectors, rnorm2, x_occ, rn_occ,
+    r_out: int, alpha: float, block: int, rev_cap: int,
+):
+    """Reverse-edge pass + re-prune (reference writer.go:627), fused: build
+    sampled in-edges on device, concat with the forward graph, re-prune."""
+    rev = _reverse_dev(graph, rev_cap)
+    cand = jnp.concatenate([graph, rev], axis=1)
+    return _prune_blocks(cand, vectors, rnorm2, x_occ, rn_occ, r_out, alpha, block)
+
+
+@functools.partial(jax.jit, static_argnames=("overlap", "block"))
+def _assign_topk(z, znorm2, centers, overlap: int, block: int):
+    """Per-point `overlap` nearest centroids in projection space.
+
+    z [N_pad, d'] f32 device; centers [K, d']. Returns (assign [N_pad, ov]
+    int32, dist [N_pad, ov] f32), both device."""
+    n_pad = z.shape[0]
+    c16 = centers.astype(jnp.bfloat16)
+    cn = jnp.sum(centers.astype(jnp.float32) ** 2, axis=1)
+    zb = z.reshape(n_pad // block, block, z.shape[1])
+    nb_ = znorm2.reshape(n_pad // block, block)
+
+    def body(_, inputs):
+        blk, bn = inputs
+        prod = jax.lax.dot_general(
+            blk.astype(jnp.bfloat16), c16,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dmat = bn[:, None] + cn[None, :] - 2.0 * prod
+        nd, idx = jax.lax.top_k(-dmat, overlap)
+        return None, (idx.astype(jnp.int32), -nd)
+
+    _, (a, dd) = jax.lax.scan(body, None, (zb, nb_))
+    return a.reshape(n_pad, overlap), dd.reshape(n_pad, overlap)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cmax"))
+def _membership_dev(assign, dists, k: int, cmax: int):
+    """Device twin of _build_membership: capacity-capped membership via one
+    3-key sort + run-position arithmetic (the host lexsort costs 10-20s at 1M
+    on a single-core host). assign/dists [N, ov] device. Returns (members
+    [k, cmax] i32, mem_slot [k, cmax] i32, entry_nodes [k] i32, n_dropped)."""
+    n, ov = assign.shape
+    m = n * ov
+    cl = assign.reshape(-1).astype(jnp.int32)
+    dd = dists.reshape(-1)
+    pt = jax.lax.broadcasted_iota(jnp.int32, (n, ov), 0).reshape(-1)
+    sl = jax.lax.broadcasted_iota(jnp.int32, (n, ov), 1).reshape(-1)
+    # Sort by (cluster, slot, dist): primaries first within each cluster so
+    # every point keeps >= 1 membership under the capacity cap.
+    cl_s, sl_s, dd_s, pt_s = jax.lax.sort((cl, sl, dd, pt), num_keys=3)
+    pos_all = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), cl_s[1:] != cl_s[:-1]]
+    )
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(boundary, pos_all, 0)
+    )
+    pos = pos_all - run_start
+    keep = pos < cmax
+    row = jnp.where(keep, cl_s, k)  # dump row for capacity-dropped entries
+    col = jnp.minimum(pos, cmax - 1)
+    members = (
+        jnp.full((k + 1, cmax), -1, jnp.int32).at[row, col].set(pt_s, mode="drop")[:k]
+    )
+    mem_slot = (
+        jnp.zeros((k + 1, cmax), jnp.int32).at[row, col].set(sl_s, mode="drop")[:k]
+    )
+    entry_nodes = members[:, 0]
+    covered = (
+        jnp.zeros((n + 1,), bool)
+        .at[jnp.where(keep, pt_s, n)].set(True, mode="drop")[:n]
+    )
+    return members, mem_slot, entry_nodes, covered
+
+
+def _build_membership(assign: np.ndarray, dists: np.ndarray, k: int, cmax: int):
+    """Capacity-capped membership table (host). Returns (members [K, Cmax]
+    int32, mem_slot [K, Cmax] int32, entry_nodes [K] int32)."""
+    n, overlap = assign.shape
+    pt = np.repeat(np.arange(n, dtype=np.int64), overlap)
+    slot = np.tile(np.arange(overlap, dtype=np.int64), n)
+    cl = assign.reshape(-1).astype(np.int64)
+    dd = dists.reshape(-1)
+    # Within each cluster: slot-0 (primary) memberships first, then by dist —
+    # primaries get capacity priority so every point keeps >= 1 membership.
+    order = np.lexsort((dd, slot, cl))
+    cl_s, pt_s, slot_s = cl[order], pt[order], slot[order]
+    starts = np.searchsorted(cl_s, np.arange(k))
+    pos = np.arange(len(cl_s)) - starts[cl_s]
+    keep = pos < cmax
+    members = np.full((k, cmax), -1, np.int32)
+    mem_slot = np.zeros((k, cmax), np.int32)
+    members[cl_s[keep], pos[keep]] = pt_s[keep]
+    mem_slot[cl_s[keep], pos[keep]] = slot_s[keep]
+    entry_nodes = members[:, 0].copy()  # nearest primary member per cluster
+    covered = np.zeros(n, bool)
+    covered[pt_s[keep]] = True
+    n_dropped = int((~covered).sum())
+    if n_dropped:
+        # Pathological skew: spill uncovered points into spare slots anywhere
+        # (their KNN will be poor; reverse edges keep them reachable).
+        spare_rows, spare_cols = np.nonzero(members == -1)
+        leftovers = np.flatnonzero(~covered)
+        take = min(len(leftovers), len(spare_rows))
+        members[spare_rows[:take], spare_cols[:take]] = leftovers[:take]
+        mem_slot[spare_rows[:take], spare_cols[:take]] = 0
+        logger.warning("clustered build: %d points spilled to spare slots", n_dropped)
+    return members, mem_slot, entry_nodes
+
+
+def _reverse_scatter(g: np.ndarray, cap: int) -> np.ndarray:
+    """Host-side hash-scatter of sampled in-edges (kept for tools/tests; the
+    build itself uses the device twin _reverse_dev)."""
+    n, r = g.shape
+    src = np.repeat(np.arange(n, dtype=np.int32), r)
+    dst = g.reshape(-1)
+    keep = dst >= 0
+    src, dst = src[keep], dst[keep]
+    h = (
+        (src.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
+    ) % np.uint64(cap)
+    rev = np.full((n, cap), -1, np.int32)
+    rev[dst, h.astype(np.int64)] = src
+    return rev
+
+
+def build_graph_clustered(
+    x: np.ndarray,
+    r: int = 32,
+    alpha: float = 1.2,
+    seed: int = 42,
+    cluster_size: int = 1024,
+    overlap: int = 2,
+    knn: int = 0,
+    n_rand: int = 8,
+    rev_cap: int = 0,
+    prune_block: int = 8192,
+    kmeans_iters: int = 5,
+    cluster_group: int = 0,
+    refine_rounds: int = 1,
+    hop2: int = 64,
+    restarts: int = 1,
+    return_device: bool = False,
+) -> Tuple[np.ndarray, int, np.ndarray, np.ndarray]:
+    """Build a Vamana-style graph over x [N, d] without graph search.
+
+    Returns (graph [N, r] int32, medoid, entry_centroids [K, d],
+    entry_nodes [K]). entry_centroids are the entry nodes' own vectors —
+    search-time probing only needs representative anchors, and this avoids a
+    second full-corpus pass to compute exact means.
+
+    return_device=True leaves the graph on device (the serving-side layout;
+    callers that serialize pay the D2H themselves — on the dev tunnel that
+    transfer alone is ~11 s at 1M and is not part of the build).
+    """
+    import ml_dtypes
+
+    from vecgo_tpu.quantization import kmeans as km
+
+    n, d = x.shape
+    x = np.ascontiguousarray(x, np.float32)
+    rng = np.random.default_rng(seed)
+    if n == 0:
+        return (
+            np.zeros((0, r), np.int32), 0,
+            np.zeros((0, d), np.float32), np.zeros(0, np.int32),
+        )
+    if n <= r + 1:
+        g, medoid = _tiny_graph(x, r)
+        return g, medoid, x[medoid : medoid + 1].copy(), np.asarray([medoid], np.int32)
+
+    knn = knn or max(r, 24)
+    rev_cap = rev_cap or r
+    overlap = max(1, min(overlap, 4))
+
+    # Pad the corpus to a size bucket (compile reuse across builds). Padded
+    # rows carry +inf norms: no distance path can ever select them, and the
+    # partition stage routes them to a dump cluster explicitly.
+    n_full = _bucket_rows(n, prune_block)
+    xb = x.astype(ml_dtypes.bfloat16)
+    if n_full > n:
+        xb = np.concatenate(
+            [xb, np.zeros((n_full - n, d), ml_dtypes.bfloat16)]
+        )
+    rn_host = np.full(n_full, np.inf, np.float32)
+    rn_host[:n] = np.einsum("nd,nd->n", x, x, dtype=np.float64).astype(np.float32)
+
+    # ONE bf16 corpus upload; exact f32 norms ride along (host f64 reduce).
+    x16 = jnp.asarray(xb)
+    rnorm2 = jnp.asarray(rn_host)
+    mean16 = jnp.asarray(x.mean(0, dtype=np.float64).astype(ml_dtypes.bfloat16))
+    medoid_dev = jnp.argmin(rnorm2 - 2.0 * (x16 @ mean16).astype(jnp.float32))
+
+    # JL projections (device): [0] doubles as the RobustPrune occlusion space;
+    # each restart partitions under its own projection.
+    pdim = min(OCC_DIM, d)
+    projs = [
+        jnp.asarray(
+            (rng.standard_normal((d, pdim)) / math.sqrt(pdim)).astype(
+                ml_dtypes.bfloat16
+            )
+        )
+        for _ in range(max(1, restarts))
+    ]
+    if d > pdim:
+        x_occ = (x16 @ projs[0]).astype(jnp.float32)
+        rn_occ = jnp.sum(x_occ * x_occ, axis=1)
+    else:
+        x_occ = x16.astype(jnp.float32)
+        rn_occ = rnorm2
+
+    block = min(prune_block, n_full)
+    pad_n = n_full  # bucket sizes are block-aligned by construction
+
+    def _padded(tbl, fill=-1):
+        if tbl.shape[0] < pad_n:
+            tbl = jnp.concatenate(
+                [tbl, jnp.full((pad_n - tbl.shape[0], tbl.shape[1]), fill, tbl.dtype)]
+            )
+        return tbl
+
+    # ---- partition (projected) + cluster-local exact KNN (full-dim) ----
+    entry_nodes_dev = None
+    n_dropped_dev = None
+    cand_parts = []
+    for t in range(max(1, restarts)):
+        if d > pdim:
+            z = x_occ if t == 0 else (x16 @ projs[t]).astype(jnp.float32)
+            zn = rn_occ if t == 0 else jnp.sum(z * z, axis=1)
+        else:
+            z, zn = x_occ, rn_occ
+        cmax = min(cluster_size, n)
+        g_batch = cluster_group or max(1, min(64, 65536 // cmax))
+        if n <= 2 * cmax:
+            # Small corpus: one global "cluster" = exact KNN over everything.
+            k_clusters, ov_t, cmax = 1, 1, n_full
+            g_batch = 1
+            k_pad = 1
+            ar = jnp.arange(n_full, dtype=jnp.int32)
+            members = jnp.where(ar < n, ar, -1)[None, :]
+            mem_slot = jnp.zeros((1, n_full), jnp.int32)
+            enodes_t = medoid_dev.astype(jnp.int32)[None]
+        else:
+            ov_t = overlap
+            k_clusters = max(2, math.ceil(n * ov_t * 1.4 / cmax))
+            n_sample = min(n, max(32768, 12 * k_clusters))
+            idx = rng.choice(n, n_sample, replace=False)
+            z_sample = np.asarray(z[jnp.asarray(idx)])  # small D2H
+            centers, _ = km.train_kmeans(
+                z_sample, k_clusters, iters=kmeans_iters,
+                seed=seed + 101 * t, sample=n_sample,
+            )
+            a_dev, d_dev = _assign_topk(
+                _padded(z, 0.0),
+                _padded(zn[:, None], 0.0)[:, 0],
+                jnp.asarray(centers),
+                ov_t,
+                block,  # divides pad_n by construction
+            )
+            # Membership stays on device (host lexsort costs 10-20s at 1M).
+            # Padded assignment rows carry cluster ids too — point them at a
+            # dump cluster beyond k_pad so they never join a real cluster.
+            k_pad = ((k_clusters + g_batch - 1) // g_batch) * g_batch
+            row_valid = jax.lax.broadcasted_iota(jnp.int32, (pad_n, 1), 0) < n
+            a_dev = jnp.where(row_valid, a_dev, k_pad)
+            members, mem_slot, enodes_t, covered = _membership_dev(
+                a_dev, d_dev, k_pad + 1, cmax
+            )
+            members, mem_slot = members[:k_pad], mem_slot[:k_pad]
+            enodes_t = enodes_t[:k_clusters]
+            nd = n - jnp.sum(covered[:n].astype(jnp.int32))
+            n_dropped_dev = nd if n_dropped_dev is None else jnp.minimum(n_dropped_dev, nd)
+        if entry_nodes_dev is None:
+            entry_nodes_dev = jnp.where(
+                enodes_t >= 0, enodes_t, medoid_dev.astype(jnp.int32)
+            )
+        knn_eff = min(knn, min(cmax, n) - 1)
+        cand_parts.append(
+            _cluster_knn(
+                x16, rnorm2, members, mem_slot,
+                knn_eff, ov_t, pad_n, g_batch,
+            )[:pad_n].reshape(pad_n, ov_t * knn_eff)
+        )
+    cand = cand_parts[0] if len(cand_parts) == 1 else jnp.concatenate(cand_parts, axis=1)
+
+    # ---- NN-descent on a pure-KNN working list (no pruning yet) ----
+    # Descent converges the working list toward the true KNN graph on
+    # semi-structured data. Pruning during descent would break it: alpha
+    # diversification discards the near-duplicates descent climbs through.
+    # (On truly uniform high-d data descent stalls — neighbors-of-neighbors
+    # locality doesn't hold; `restarts` is the lever there.)
+    kw = max(2 * r, 48)
+    hop_a, hop_b = min(16, kw), max(1, hop2 // 16)
+
+    def _retry(make, tag):
+        # Executable-reuse bug containment — see utils/devbug.py.
+        from vecgo_tpu.utils.devbug import call_compiled
+
+        return call_compiled(make)
+
+    w_d, w_i = _retry(
+        lambda: _descend(
+            _padded(cand), x16, rnorm2,
+            max(refine_rounds, 0), kw, block, hop_a, hop_b, rev_cap,
+        ),
+        "descend",
+    )
+
+    # ---- RobustPrune the converged lists (+ random far candidates) ----
+    cand_final = w_i
+    if n_rand > 0:
+        randc = _padded(jnp.asarray(
+            rng.integers(0, n, size=(n, n_rand), dtype=np.int64).astype(np.int32)
+        ))
+        cand_final = jnp.concatenate([cand_final, randc], axis=1)
+    graph = _retry(
+        lambda: _prune_all(
+            cand_final, x16, rnorm2, x_occ, rn_occ, r, alpha, block
+        ),
+        "prune",
+    )
+
+    # ---- reverse-edge pass + re-prune, fused on device ----
+    graph = _retry(
+        lambda: _prune_with_reverse(
+            graph, x16, rnorm2, x_occ, rn_occ, r, alpha, block, rev_cap
+        ),
+        "prune+reverse",
+    )
+
+    medoid = int(np.asarray(medoid_dev))
+    entry_nodes = np.asarray(entry_nodes_dev)
+    entry_centroids = x[entry_nodes].copy()
+    if n_dropped_dev is not None:
+        nd = int(np.asarray(n_dropped_dev))
+        if nd > 0:
+            logger.info(
+                "clustered build: %d/%d points had no cluster membership "
+                "(capacity overflow); reverse edges keep them reachable", nd, n,
+            )
+    graph = graph[:n]
+    if not return_device:
+        graph = np.asarray(graph)  # the ONE big D2H
+    return graph, medoid, entry_centroids, entry_nodes

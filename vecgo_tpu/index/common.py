@@ -98,7 +98,7 @@ def row_sections(x: np.ndarray, ids: np.ndarray, docs, payloads, lsns=None):
     """Common sections: vectors/norms/ids/lsns/metadata columns/payloads/docs."""
     sections: Dict[str, np.ndarray] = {
         "vectors": x,
-        "rnorm2": (x.astype(np.float64) ** 2).sum(1).astype(np.float32),
+        "rnorm2": np.einsum("nd,nd->n", x, x, dtype=np.float64).astype(np.float32),
         "ids": ids,
         "lsns": np.asarray(
             lsns if lsns is not None else np.zeros(len(ids)), np.int64

@@ -96,7 +96,7 @@ class FreshVamana:
         self._dev["rnorm2"] = self._update_fn(
             self._dev["rnorm2"],
             rows_d,
-            jnp.asarray((vecs.astype(np.float64) ** 2).sum(1).astype(np.float32)),
+            jnp.asarray(np.einsum("nd,nd->n", vecs, vecs, dtype=np.float64).astype(np.float32)),
         )
 
     # ---------------- insert ----------------
@@ -106,6 +106,7 @@ class FreshVamana:
         import jax.numpy as jnp
 
         from vecgo_tpu.ops import beam as beam_ops
+        from vecgo_tpu.utils.devbug import call_compiled
 
         vecs = np.asarray(vectors, np.float32)
         if self.metric == Metric.COSINE:
@@ -132,7 +133,8 @@ class FreshVamana:
             # Bootstrap: connect everything to everything (pruned).
             cand = np.tile(np.arange(self.n, dtype=np.int32), (c, 1))
         else:
-            _, _, _, cand_ids = beam_ops.beam_search(
+            _, _, _, cand_ids = call_compiled(
+                beam_ops.beam_search,
                 q_blk,
                 dev["trav"],
                 dev["rnorm2"],
@@ -144,7 +146,8 @@ class FreshVamana:
                 with_visited=True,
             )
             cand = np.asarray(cand_ids)
-        new_nbrs = beam_ops.robust_prune(
+        new_nbrs = call_compiled(
+            beam_ops.robust_prune,
             rows_d,
             q_blk,
             jnp.asarray(cand.astype(np.int32)),
@@ -176,7 +179,8 @@ class FreshVamana:
                 extra[i, :take] = s_sorted[s0 : s0 + take]
             cand_all = np.concatenate([cur, extra], axis=1).astype(np.int32)
             uniq_d = jnp.asarray(uniq.astype(np.int32))
-            pruned = beam_ops.robust_prune(
+            pruned = call_compiled(
+                beam_ops.robust_prune,
                 uniq_d,
                 jnp.asarray(self.x[uniq]),
                 jnp.asarray(cand_all),

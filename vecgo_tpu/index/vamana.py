@@ -108,6 +108,7 @@ def build_graph(
     import jax.numpy as jnp
 
     from vecgo_tpu.ops import beam as beam_ops
+    from vecgo_tpu.utils.devbug import call_compiled
 
     n, d = x.shape
     rng = np.random.default_rng(seed)
@@ -172,7 +173,8 @@ def build_graph(
                 ],
                 axis=1,
             )
-            _, _, cand_d, cand_ids = beam_ops.beam_search(
+            _, _, cand_d, cand_ids = call_compiled(
+                beam_ops.beam_search,
                 q_blk,
                 trav16,
                 rnorm2,
@@ -186,7 +188,8 @@ def build_graph(
             )
             cur = jnp.take(graph, rows_dev, axis=0)
             cand_all = jnp.concatenate([cand_ids, cur], axis=1)
-            new_nbrs = beam_ops.robust_prune(
+            new_nbrs = call_compiled(
+                beam_ops.robust_prune,
                 rows_dev,
                 q_blk,
                 cand_all,
@@ -217,7 +220,8 @@ def build_graph(
                 [jnp.take(graph, rows_dev, axis=0), jnp.take(rev_dev, rows_dev, axis=0)],
                 axis=1,
             )
-            new_nbrs = beam_ops.robust_prune(
+            new_nbrs = call_compiled(
+                beam_ops.robust_prune,
                 rows_dev,
                 jnp.take(vectors, rows_dev, axis=0),
                 cand_all,
@@ -269,18 +273,35 @@ class VamanaWriter:
         metric: Metric = Metric.L2,
         r: int = DEFAULT_R,
         l_build: int = DEFAULT_L_BUILD,
-        alpha: float = DEFAULT_ALPHA,
+        alpha: Optional[float] = None,
         quantizer: str = "none",
         qparams: Optional[dict] = None,
         seed: int = 42,
         compress: str = "",
+        build_mode: str = "clustered",
+        build_params: Optional[dict] = None,
     ):
+        """build_mode: "clustered" (default — cluster-local KNN + RobustPrune,
+        index/build_fast.py, ~16x faster than beam at 1M) or "beam" (the
+        search-based batched build, build_graph below).
+
+        alpha=None resolves per mode: 1.2 for beam (reference default,
+        writer.go:85-93) but 1.5 for clustered — pure-KNN candidate lists
+        need weaker occlusion than search-path candidates for equal recall
+        (measured: 0.92 -> 0.97 @ ef96 on 200k/1M clustered corpora).
+        """
+        if build_mode not in ("clustered", "beam"):
+            raise ValueError(f"unknown build_mode {build_mode!r} (clustered|beam)")
         self.compress = compress
         self.dim = dim
         self.metric = metric
         self.r = r
         self.l_build = l_build
-        self.alpha = alpha
+        self.build_mode = build_mode
+        self.alpha = alpha if alpha is not None else (
+            1.5 if build_mode == "clustered" else DEFAULT_ALPHA
+        )
+        self.build_params = dict(build_params or {})
         self.quantizer_kind = quantizer
         self.qparams = dict(qparams or {})
         self.seed = seed
@@ -300,9 +321,18 @@ class VamanaWriter:
     def finish(self) -> bytes:
         n = len(self._rows)
         x, ids = self._rows.stacked(self.metric)
-        graph, medoid, centroids, entry_nodes = build_graph(
-            x, r=self.r, l_build=self.l_build, alpha=self.alpha, seed=self.seed
-        )
+        if self.build_mode == "clustered":
+            from vecgo_tpu.index.build_fast import build_graph_clustered
+
+            graph, medoid, centroids, entry_nodes = build_graph_clustered(
+                x, r=self.r, alpha=self.alpha, seed=self.seed,
+                **self.build_params,
+            )
+        else:
+            graph, medoid, centroids, entry_nodes = build_graph(
+                x, r=self.r, l_build=self.l_build, alpha=self.alpha,
+                seed=self.seed, **self.build_params,
+            )
         sections, md_meta, cm = common.row_sections(
             x, ids, self._rows.docs, self._rows.payloads, self._rows.lsns
         )

@@ -228,7 +228,7 @@ def _dedup_topk(d, i, k: int):
     return sd[:, :k], si[:, :k]
 
 
-@functools.partial(jax.jit, static_argnames=("r_out", "alpha"))
+@functools.partial(jax.jit, static_argnames=("r_out", "alpha", "lazy_occlusion"))
 def robust_prune(
     p_ids,  # [C] int32 node being pruned (excluded from its own candidates)
     p_vecs,  # [C, d]
@@ -238,6 +238,9 @@ def robust_prune(
     *,
     r_out: int,
     alpha: float,
+    vectors_occ=None,  # [N, d'] optional low-dim projection for the occlusion
+    rnorm2_occ=None,  # [N] norms of vectors_occ
+    lazy_occlusion=None,  # None = auto (lazy when L > 64)
 ):
     """Vectorized RobustPrune (reference: diskann/writer.go:571-625).
 
@@ -245,12 +248,38 @@ def robust_prune(
     kill every candidate x with alpha * d(c*, x) <= d(p, x). Runs the R_out
     picks as a lax.scan with [C, L] masks; all distances via batched matmuls;
     no scatters (column writes become iota-mask selects).
+
+    The pick order d(p, x) is always full-dimension. The occlusion test's
+    pairwise distances are the FLOP/HBM-heavy term; two controls:
+    - (vectors_occ, rnorm2_occ): a JL projection (pre-scaled so expected
+      squared distances match full-dim) computes occlusion in d' dims —
+      occlusion is a coarse geometric filter and tolerates it.
+    - lazy_occlusion: instead of materializing the [C, L, L] gram upfront
+      (O(L^2 d) FLOPs and an HBM-resident L^2 tile), compute d(c*, ·) per
+      pick — O(R L d). Wins for wide candidate lists (auto above L=64).
+
     Returns [C, r_out] int32 neighbor ids (-1 padded).
     """
     c, l = cand_ids.shape
+    if lazy_occlusion is None:
+        # The upfront gram costs O(L^2 d_occ) in well-shaped batched matmuls;
+        # lazy costs O(R L d_occ) in skinny per-pick matvecs that reach a
+        # fraction of MXU peak (measured ~5-10x less). Prefer the gram unless
+        # the candidate list is very wide relative to the output degree or the
+        # occlusion runs full-dimension.
+        occ_d = (vectors_occ if vectors_occ is not None else vectors).shape[-1]
+        lazy_occlusion = l > 64 if occ_d > 48 else l > 4 * r_out
     pf = p_vecs.astype(jnp.float32)
     p16 = p_vecs.astype(jnp.bfloat16)
     pn = jnp.sum(pf * pf, axis=-1, keepdims=True)
+
+    # Dedup candidates by id BEFORE any gathers: sort each row, kill adjacent
+    # duplicates (O(L log L), replacing an HBM-resident [C, L, L] compare
+    # tensor; candidate order is irrelevant to the prune).
+    si = jax.lax.sort(cand_ids, dimension=1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, si.shape, 1)
+    dup = (si == jnp.roll(si, 1, axis=1)) & (pos > 0) & (si >= 0)
+    cand_ids = jnp.where(dup, -1, si)
 
     safe = jnp.maximum(cand_ids, 0)
     cv = jnp.take(vectors, safe.reshape(-1), axis=0).reshape(c, l, -1)
@@ -259,17 +288,23 @@ def robust_prune(
     d_p = pn + cn - 2.0 * jnp.einsum(
         "cld,cd->cl", cv16, p16, preferred_element_type=jnp.float32
     )
-    # Precompute ALL pairwise candidate distances with one MXU-shaped batched
-    # matmul; the pick loop then does pure elementwise work. This replaced a
-    # per-pick batched matvec and sped the 1M-row graph build up several-fold.
-    gram = jnp.einsum("cld,cmd->clm", cv16, cv16, preferred_element_type=jnp.float32)
-    d_all = jnp.maximum(cn[:, :, None] + cn[:, None, :] - 2.0 * gram, 0.0)  # [C,L,L]
+    # Occlusion geometry source: projected copies when provided, else full-dim.
+    if vectors_occ is not None:
+        ov16 = jnp.take(vectors_occ, safe.reshape(-1), axis=0).reshape(
+            c, l, -1
+        ).astype(jnp.bfloat16)
+        on = jnp.take(rnorm2_occ, safe)
+    else:
+        ov16, on = cv16, cn
+    if not lazy_occlusion:
+        # Precompute ALL pairwise candidate distances with one MXU-shaped
+        # batched matmul; the pick loop then does pure elementwise work.
+        gram = jnp.einsum(
+            "cld,cmd->clm", ov16, ov16, preferred_element_type=jnp.float32
+        )
+        d_all = jnp.maximum(on[:, :, None] + on[:, None, :] - 2.0 * gram, 0.0)
 
     valid = (cand_ids >= 0) & (cand_ids != p_ids[:, None])
-    # Dedup within candidates (keep first occurrence).
-    eq = cand_ids[:, :, None] == cand_ids[:, None, :]
-    earlier = jnp.tril(jnp.ones((l, l), bool), k=-1)[None]
-    valid = valid & ~(eq & earlier).any(-1)
     d_p = jnp.where(valid, d_p, _BIG)
 
     out_cols = jax.lax.broadcasted_iota(jnp.int32, (1, r_out), 1)
@@ -287,7 +322,19 @@ def robust_prune(
         best_id = jnp.where(ok, best_id, -1)
         out_ids = jnp.where(out_cols == slot, best_id[:, None], out_ids)
         # Occlusion: alpha * d(c*, x) <= d(p, x) kills x (incl. c* itself).
-        d_cx = jnp.sum(jnp.where(is_best[:, :, None], d_all, 0.0), axis=1)  # [C, L]
+        if lazy_occlusion:
+            c_star = jnp.einsum(
+                "cl,cld->cd", is_best.astype(jnp.bfloat16), ov16,
+                preferred_element_type=jnp.float32,
+            )
+            c_star_n = jnp.sum(jnp.where(is_best, on, 0.0), axis=1)
+            prod = jnp.einsum(
+                "cld,cd->cl", ov16, c_star.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            d_cx = jnp.maximum(c_star_n[:, None] + on - 2.0 * prod, 0.0)
+        else:
+            d_cx = jnp.sum(jnp.where(is_best[:, :, None], d_all, 0.0), axis=1)
         killed = alpha * d_cx <= d_p
         alive = alive & ~killed & ok[:, None]
         return (alive, out_ids), None

@@ -71,7 +71,7 @@ class ShardedFlat:
         self.shard_rows = xp.shape[0] // n_shards
         x_sharding = NamedSharding(mesh, P("shard", None))
         self.x = jax.device_put(xp, x_sharding)
-        rn = (xp.astype(np.float64) ** 2).sum(1).astype(np.float32)
+        rn = np.einsum("nd,nd->n", xp, xp, dtype=np.float64).astype(np.float32)
         self.rnorm2 = jax.device_put(rn, NamedSharding(mesh, P("shard")))
         self._search_fn = None
         self._search_k = None

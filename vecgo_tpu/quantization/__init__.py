@@ -94,7 +94,7 @@ class NoneQuantizer(Quantizer):
         x = np.asarray(x, np.float32)
         return {
             "vectors": x,
-            "rnorm2": np.asarray((x.astype(np.float64) ** 2).sum(1), np.float32),
+            "rnorm2": np.asarray(np.einsum("nd,nd->n", x, x, dtype=np.float64), np.float32),
         }
 
     def decode(self, enc):

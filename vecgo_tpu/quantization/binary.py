@@ -61,7 +61,7 @@ class BQQuantizer(Quantizer):
         bits = x > self.threshold[None, :]
         packed = np.asarray(H.pack_bits(jnp.asarray(bits)))
         recon = self.threshold[None, :] + self.alpha[None, :] * np.where(bits, 1, -1)
-        rnorm2 = (recon.astype(np.float64) ** 2).sum(1).astype(np.float32)
+        rnorm2 = np.einsum("nd,nd->n", recon, recon, dtype=np.float64).astype(np.float32)
         return {"codes": packed, "rnorm2": rnorm2}
 
     def decode(self, enc) -> np.ndarray:

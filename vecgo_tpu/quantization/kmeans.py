@@ -120,7 +120,13 @@ def train_kmeans(
         jitter = r.standard_normal(reps.shape).astype(np.float32) * 1e-4
         centers = np.concatenate([x, reps + jitter], 0)
         return centers.astype(np.float32), 0.0
-    init = _kmeanspp_init(x, k, r)
+    # kmeans++ D^2 seeding is an O(k * sample * d) HOST loop — measured seconds
+    # at k in the hundreds; for coarse partitioning (large k) random distinct
+    # rows are as good after a few Lloyd iterations.
+    if k <= 256:
+        init = _kmeanspp_init(x, k, r)
+    else:
+        init = x[r.choice(n, k, replace=False)]
     block_rows = min(block_rows, n)
     pad = (-n) % block_rows
     if pad:

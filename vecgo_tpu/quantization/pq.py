@@ -100,7 +100,7 @@ class PQQuantizer(Quantizer):
     def encode(self, x: np.ndarray) -> Dict[str, np.ndarray]:
         codes = self._assign(x)
         recon = self._decode_codes(codes)
-        rnorm2 = (recon.astype(np.float64) ** 2).sum(1).astype(np.float32)
+        rnorm2 = np.einsum("nd,nd->n", recon, recon, dtype=np.float64).astype(np.float32)
         return {"codes": codes, "rnorm2": rnorm2}
 
     def _decode_codes(self, codes: np.ndarray) -> np.ndarray:

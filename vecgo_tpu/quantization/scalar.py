@@ -81,7 +81,7 @@ class SQ8Quantizer(Quantizer):
         x = np.asarray(x, np.float32)
         codes = _affine_encode(x, self.offset, self.scale, 256)
         recon = self.offset[None, :] + self.scale[None, :] * codes.astype(np.float32)
-        rnorm2 = (recon.astype(np.float64) ** 2).sum(1).astype(np.float32)
+        rnorm2 = np.einsum("nd,nd->n", recon, recon, dtype=np.float64).astype(np.float32)
         return {"codes": codes, "rnorm2": rnorm2}
 
     def decode(self, enc) -> np.ndarray:
@@ -144,7 +144,7 @@ class INT4Quantizer(Quantizer):
         x = np.asarray(x, np.float32)
         u = _affine_encode(x, self.offset, self.scale, 16)
         recon = self.offset[None, :] + self.scale[None, :] * u.astype(np.float32)
-        rnorm2 = (recon.astype(np.float64) ** 2).sum(1).astype(np.float32)
+        rnorm2 = np.einsum("nd,nd->n", recon, recon, dtype=np.float64).astype(np.float32)
         return {"codes": pack_nibbles(u), "rnorm2": rnorm2}
 
     def decode(self, enc) -> np.ndarray:
