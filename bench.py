@@ -254,6 +254,25 @@ def main():
         log(f"vamana phase failed: {e!r}")
         extras["vamana_error"] = repr(e)
 
+    # ---------------- engine ingest (deferred-style bulk) ----------------
+    # Reference: BatchInsertDeferred ~2M vec/s (doc.go:33-35). Host-only path:
+    # one memtable slab write + one PK block per batch.
+    try:
+        from vecgo_tpu.blobstore import MemoryStore
+        from vecgo_tpu.engine import Engine, EngineOptions
+
+        eng = Engine.open(
+            MemoryStore(), EngineOptions(dim=d, flush_threshold=2**62), create=True
+        )
+        t0 = time.perf_counter()
+        eng.insert_batch(x)
+        dt = time.perf_counter() - t0
+        extras["ingest_vps"] = round(n / dt, 1)
+        extras["ingest_vs_go_deferred"] = round(n / dt / 2_064_326.0, 2)
+    except Exception as e:  # noqa: BLE001
+        log(f"ingest phase failed: {e!r}")
+        extras["ingest_error"] = repr(e)
+
     # ---------------- headline ----------------
     ok = {k: v for k, v in results.items() if v[1] >= 0.95} or results
     best = max(ok.items(), key=lambda kv: kv[1][0])

@@ -428,3 +428,41 @@ def test_close_writes_pk_sidecar_not_manifest():
     # vacuum keeps the sidecar-referenced checkpoint blob.
     eng2.vacuum()
     assert store.exists(f"pk_{ver:06d}.ckpt")
+
+
+def test_bulk_insert_fast_path_interop():
+    """The vectorized bulk-insert path (PK blocks + memtable slabs) must
+    interoperate with updates, deletes, flush remapping and recovery."""
+    store = MemoryStore()
+    eng = new_engine(store)
+    x = tu.gaussian_vectors(500, D, seed=60)
+    ids = eng.insert_batch(x, [{"i": i} for i in range(500)])  # bulk path
+    assert ids == list(range(ids[0], ids[0] + 500))
+    # point ops against block-backed ids
+    c = eng.get(ids[123])
+    np.testing.assert_allclose(c.vector, x[123], rtol=1e-6)
+    assert eng.delete(ids[7])
+    upd = x[9] * 0.5 + 1.0
+    eng.insert_batch(upd[None, :], ids=[ids[9]])  # slow path update
+    # flush: block remaps MEMTABLE -> flat segment
+    eng.commit()
+    np.testing.assert_allclose(eng.get(ids[9]).vector, upd, rtol=1e-6)
+    with pytest.raises(ErrNotFound):
+        eng.get(ids[7])
+    res = eng.search(x[200], k=3)
+    assert res[0].id == ids[200]
+    # scan yields blocks + chains consistently
+    seen = {c.id for c in eng.scan()}
+    assert ids[7] not in seen and ids[9] in seen and len(seen) == 499
+    # second bulk batch + compaction remap of blocks
+    ids2 = eng.insert_batch(x * 2.0)
+    eng.commit()
+    eng.compact([h.seg_id for h in eng._segments])
+    np.testing.assert_allclose(eng.get(ids2[3]).vector, x[3] * 2.0, rtol=1e-6)
+    np.testing.assert_allclose(eng.get(ids[9]).vector, upd, rtol=1e-6)
+    # recovery without checkpoint: blocks rebuilt from segments
+    eng2 = Engine.open(store, EngineOptions())
+    assert eng2.stats()["live_rows"] == 999
+    np.testing.assert_allclose(eng2.get(ids[9]).vector, upd, rtol=1e-6)
+    with pytest.raises(ErrNotFound):
+        eng2.get(ids[7])

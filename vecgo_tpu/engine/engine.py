@@ -24,6 +24,7 @@ from vecgo_tpu.errors import (
     ErrClosed,
     ErrCorrupt,
     ErrDimensionMismatch,
+    ErrInvalidVector,
     ErrNotFound,
     ErrReadOnly,
 )
@@ -101,6 +102,21 @@ def _seg_blob(seg_id: int) -> str:
 
 
 PK_SIDECAR = "PKCURRENT"  # {"version": N, "blob": "pk_%06d.ckpt"}
+
+
+def _id_row_map(seg, rids: np.ndarray, old_rows: np.ndarray, n_old: int) -> np.ndarray:
+    """Vectorized (old row -> new row) map for PK remapping after a segment
+    write that may permute rows: row of id rids[i] in `seg` lands at
+    row_map[old_rows[i]]; unmapped rows carry -1 (dropped)."""
+    seg_ids = np.asarray(seg.ids, np.int64)
+    rids = np.asarray(rids, np.int64)
+    order = np.argsort(seg_ids, kind="stable")
+    pos = np.searchsorted(seg_ids[order], rids)
+    new_rows = order[np.clip(pos, 0, max(len(order) - 1, 0))] if len(order) else np.zeros(0, np.int64)
+    ok = (pos < len(order)) & (seg_ids[new_rows] == rids) if len(order) else np.zeros(0, bool)
+    row_map = np.full(n_old, -1, np.int64)
+    row_map[np.asarray(old_rows)[ok]] = new_rows[ok]
+    return row_map
 
 
 class Engine:
@@ -233,30 +249,12 @@ class Engine:
             self.store.delete(name)
 
     def _rebuild_pk(self):
-        pk = PKIndex()
-        for h in self._segments:
-            seg = h.segment
-            for row in range(seg.n):
-                pk._chains.setdefault(int(seg.ids[row]), []).append(
-                    (int(seg.lsns[row]), seg.seg_id, row)
-                )
-            # Replay persisted tombstones at their real per-row delete LSNs
-            # (ts.rows/ts.lsns) — replaying at the manifest LSN would outrank
-            # newer live versions of an updated id and resolve it as deleted.
-            ts = self._tombstones.by_seg.get(seg.seg_id)
-            if ts is not None:
-                for row, lsn in zip(ts.rows, ts.lsns):
-                    pk._chains.setdefault(int(seg.ids[int(row)]), []).append(
-                        (int(lsn), DELETED, 0)
-                    )
-        # Order chains by LSN. An upsert tombstones the old row with the SAME
-        # LSN as the new version; at equal LSN the DELETED entry must sort
-        # before the live one so the live version wins.
-        for chain in pk._chains.values():
-            chain.sort(key=lambda e: (e[0], e[1] != DELETED))
-        pk._dirty = {id for id, c in pk._chains.items() if len(c) > 1}
-        pk._dirty_version += 1
-        self.pk = pk
+        """Vectorized PK rebuild (reference engine.go:620-712): per-segment
+        sorted blocks for single-version ids; explicit chains (with the real
+        per-row delete LSNs) for updated/tombstoned ids."""
+        self.pk = PKIndex.rebuild_from_segments(
+            [h.segment for h in self._segments], self._tombstones
+        )
 
     def _rebuild_lexical(self):
         for h in self._segments:
@@ -307,9 +305,11 @@ class Engine:
     ) -> List[int]:
         """Atomic batch insert (reference: BatchInsert :935, WriteBatch batch.go).
 
-        This is also the bulk path — appends are O(1) host work per row
-        (the reference's deferred mode, BatchInsertDeferred :1066, is simply
-        the only mode: L0 has no graph to maintain on TPU)."""
+        This is also the bulk path (the reference's deferred mode,
+        BatchInsertDeferred :1066, is simply the only mode: L0 has no graph to
+        maintain on TPU). Auto-id batches without text/schema take a fully
+        vectorized route: one memtable slab write + one PK block — O(1) host
+        work per batch instead of per row (millions of rows/s)."""
         self._check_writable()
         vectors = np.asarray(vectors, np.float32)
         if vectors.ndim != 2 or vectors.shape[1] != self.options.dim:
@@ -318,6 +318,39 @@ class Engine:
             )
         n = vectors.shape[0]
         schema = self.options.schema
+        bulk = (
+            ids is None
+            and texts is None
+            and schema is None
+            and self._lexical is None
+            and n >= 2
+        )
+        if bulk:
+            if not np.isfinite(vectors).all():
+                raise ErrInvalidVector("batch contains NaN/Inf")
+            with self._lock:
+                id0 = self._next_id
+                self._next_id += n
+                lsn0 = self._lsn + 1
+                self._lsn += n
+                row0 = self.memtable.insert_block(
+                    vectors, id0, lsn0, metadatas, payloads
+                )
+                self.pk.upsert_block(
+                    np.arange(id0, id0 + n, dtype=np.int64),
+                    MEMTABLE_SEG,
+                    np.arange(row0, row0 + n, dtype=np.int64),
+                    lsn0,
+                )
+                obs = self.options.observer
+                if obs is not None:
+                    obs.on_insert(n)
+            if (
+                self.options.auto_flush
+                and len(self.memtable) >= self.options.flush_threshold
+            ):
+                self.commit()
+            return list(range(id0, id0 + n))
         out = []
         with self._lock:
             for i in range(n):
@@ -540,23 +573,17 @@ class Engine:
                     seed=self.options.seed,
                     compress=self.options.compress_segments,
                 )
-                added = []  # (memtable_row, id)
-                for row, rid, vec, doc, payload in mem.iterate():
-                    writer.add(vec, rid, doc, payload, lsn=mem.lsns[row])
-                    added.append((row, rid))
+                live_rows, vecs, rids, lsns, docs, pays = mem.export_live()
+                writer.add_batch(vecs, rids, docs, pays, lsns)
                 data = writer.finish()
                 blob_name = _seg_blob(seg_id)
                 self.store.put(blob_name, data)
                 seg = FlatSegment.open(data, seg_id, verify_checksum=False)
                 # FlatWriter.finish() may permute rows (IVF partitioning
-                # reorders by nearest centroid) — recover final rows via the
-                # id->row map, exactly as compact() does. Live memtable ids are
-                # unique (upserts tombstone the superseded row).
-                id_to_row = {int(seg.ids[r]): r for r in range(seg.n)}
-                mapping = {
-                    (MEMTABLE_SEG, row): (seg_id, id_to_row[rid])
-                    for row, rid in added
-                }
+                # reorders by nearest centroid) — recover final rows via a
+                # vectorized id->row lookup. Live memtable ids are unique
+                # (upserts tombstone the superseded row).
+                row_map = _id_row_map(seg, rids, live_rows, len(mem))
                 info = SegmentInfo(
                     name=blob_name,
                     seg_id=seg_id,
@@ -567,7 +594,7 @@ class Engine:
                 )
                 new_handle = SegmentHandle(seg, info)
                 self._next_seg_id += 1
-                self.pk.remap(mapping)
+                self.pk.remap_bulk(MEMTABLE_SEG, seg_id, row_map)
             # Persist tombstones per segment (reference engine.go:2395-2416).
             version = self._version + 1
             for h in self._segments:
@@ -682,22 +709,22 @@ class Engine:
                 compress=self.options.compress_segments,
             )
             kind = "flat"
-        added = []  # (old_seg_id, old_row, id)
+        live_info = []  # (old_seg_id, live_rows, live_ids, n_old)
         t0 = time.time()
         for h in inputs:
             seg = h.segment
             dead = tombstones.deleted_mask(seg.seg_id, seg.n, snapshot_lsn)
-            for row in range(seg.n):
-                if dead is not None and dead[row]:
-                    continue
-                writer.add(
-                    seg.vectors[row],
-                    int(seg.ids[row]),
-                    seg.doc(row),
-                    seg.payload(row),
-                    lsn=int(seg.lsns[row]),
-                )
-                added.append((seg.seg_id, row, int(seg.ids[row])))
+            live = np.arange(seg.n) if dead is None else np.flatnonzero(~dead)
+            rids = np.asarray(seg.ids, np.int64)[live]
+            # Vector/id/lsn columns move as slabs; docs/payloads are object
+            # columns and materialize per row.
+            docs = [seg.doc(int(r)) for r in live]
+            pays = [seg.payload(int(r)) for r in live]
+            writer.add_batch(
+                np.asarray(seg.vectors)[live], rids, docs, pays,
+                np.asarray(seg.lsns, np.int64)[live],
+            )
+            live_info.append((seg.seg_id, live, rids, seg.n))
         data = writer.finish()
         blob_name = _seg_blob(out_seg_id)
         self.store.put(blob_name, data)
@@ -711,12 +738,12 @@ class Engine:
                 self.store.delete(blob_name)
                 return None
             # Writer output order may differ from add order (flat+IVF reorders
-            # rows by partition); recover final rows via the id->row map. Live
-            # ids are unique across inputs (updates tombstone the old row).
-            id_to_row = {int(out_seg.ids[r]): r for r in range(out_seg.n)}
-            mapping = {
-                (old_seg, old_row): (out_seg_id, id_to_row[rid])
-                for old_seg, old_row, rid in added
+            # rows by partition); recover final rows via vectorized id->row
+            # maps. Live ids are unique across inputs (updates tombstone the
+            # old row).
+            row_maps = {
+                old_seg: _id_row_map(out_seg, rids, live, n_old)
+                for old_seg, live, rids, n_old in live_info
             }
             info = SegmentInfo(
                 name=blob_name,
@@ -739,16 +766,18 @@ class Engine:
                 ts = tb.pop(h.seg_id, None)
                 if ts is None:
                     continue
+                rm = row_maps[h.seg_id]
                 for row, lsn in zip(ts.rows, ts.lsns):
                     if lsn > snapshot_lsn:
-                        new_loc = mapping.get((h.seg_id, int(row)))
-                        if new_loc is not None:
-                            late_rows.append(new_loc[1])
+                        new_row = int(rm[int(row)]) if int(row) < len(rm) else -1
+                        if new_row >= 0:
+                            late_rows.append(new_row)
                             late_lsns.append(int(lsn))
             if late_rows:
                 tb[out_seg_id] = SegmentTombstones(out_seg.n, late_rows, late_lsns)
             self._tombstones = TombstoneSet(tb)
-            self.pk.remap(mapping)
+            for old_seg, rm in row_maps.items():
+                self.pk.remap_bulk(old_seg, out_seg_id, rm)
             self._version += 1
             self._save_manifest()
             for h in inputs:

@@ -1,10 +1,19 @@
-"""MVCC primary-key index: id -> LSN-versioned location chains.
+"""MVCC primary-key index: bulk blocks + per-id LSN version chains.
 
 Reference: internal/pk/mvcc.go:35-125 (per-entry version chains, Get(id, lsn),
 Upsert, Delete, Scan) and persist.go (binary checkpoint).
 
-Location convention: seg_id == MEMTABLE_SEG (-1) addresses the active memtable;
-row is the row within the segment/memtable. A None location marks a delete.
+TPU-first restructuring of the hot path: bulk ingestion (the reference's
+deferred mode, doc.go:33-35, ~2M vec/s) registers one **block** — sorted id /
+row / LSN numpy arrays for a whole batch — in O(1) instead of a dict insert
+per row. Point lookups binary-search the blocks; ids that are later updated
+or deleted get explicit version **chains** that shadow their block entry
+(chain LSNs are always newer). Invariant: an id appears in at most one block.
+
+Location convention: seg_id == MEMTABLE_SEG (-1) addresses the active
+memtable; row is the row within the segment/memtable. seg_id == DELETED marks
+a delete. row == -1 marks a stale version whose physical row was dropped by
+compaction (never the visible latest).
 """
 
 from __future__ import annotations
@@ -20,21 +29,51 @@ MEMTABLE_SEG = -1
 DELETED = -2
 
 
+class _Block:
+    """One bulk-ingested id range: ids sorted ascending, aligned rows/lsns."""
+
+    __slots__ = ("ids", "rows", "lsns", "seg_id")
+
+    def __init__(self, ids: np.ndarray, rows: np.ndarray, lsns: np.ndarray, seg_id: int):
+        self.ids = ids
+        self.rows = rows
+        self.lsns = lsns
+        self.seg_id = seg_id
+
+    def find(self, id: int) -> int:
+        """Index of id, or -1."""
+        i = int(np.searchsorted(self.ids, id))
+        if i < len(self.ids) and int(self.ids[i]) == id:
+            return i
+        return -1
+
+
 class PKIndex:
-    """id -> ascending-LSN chain of (lsn, seg_id, row)."""
+    """id -> (bulk block entry) shadowed by an ascending-LSN chain."""
 
     def __init__(self):
         self._chains: Dict[int, List[Tuple[int, int, int]]] = {}
+        self._blocks: List[_Block] = []
         self._lock = threading.Lock()
-        # ids with >1 chain entry (updated/deleted): only these need a
-        # per-candidate visibility check at search time; everything else is
-        # trivially visible (single immutable version).
+        # ids with >1 live version (updated/deleted/block+chain): only these
+        # need a per-candidate visibility check at search time.
         self._dirty: set = set()
         self._dirty_version = 0
         self._dirty_cache = None  # (version, sorted int64 array)
 
+    # ---------------- internals ----------------
+
+    def _block_entry(self, id: int) -> Optional[Tuple[int, int, int]]:
+        for b in reversed(self._blocks):
+            i = b.find(id)
+            if i >= 0:
+                return (int(b.lsns[i]), b.seg_id, int(b.rows[i]))
+        return None
+
     def __len__(self):
-        return len(self._chains)
+        n = sum(len(b.ids) for b in self._blocks)
+        n += sum(1 for id in self._chains if self._block_entry(id) is None)
+        return n
 
     def _mark_dirty(self, id: int):
         self._dirty.add(id)
@@ -51,54 +90,112 @@ class PKIndex:
             self._dirty_cache = (self._dirty_version, arr)
             return arr
 
+    # ---------------- writes ----------------
+
     def upsert(self, id: int, seg_id: int, row: int, lsn: int) -> None:
         with self._lock:
             chain = self._chains.setdefault(id, [])
             chain.append((lsn, seg_id, row))
-            if len(chain) > 1:
+            if len(chain) > 1 or self._block_entry(id) is not None:
                 self._mark_dirty(id)
+
+    def upsert_block(
+        self, ids: np.ndarray, seg_id: int, rows: np.ndarray, lsn0: int
+    ) -> None:
+        """Register a bulk batch: ids sorted ascending and FRESH (never seen
+        by this index); rows aligned; entry i has LSN lsn0 + i."""
+        with self._lock:
+            self._blocks.append(
+                _Block(
+                    np.asarray(ids, np.int64),
+                    np.asarray(rows, np.int64),
+                    lsn0 + np.arange(len(ids), dtype=np.int64),
+                    seg_id,
+                )
+            )
 
     def delete(self, id: int, lsn: int) -> bool:
         """Record a delete; returns False if id has never existed."""
         with self._lock:
             chain = self._chains.get(id)
-            if not chain:
-                return False
-            chain.append((lsn, DELETED, 0))
-            self._mark_dirty(id)
-            return True
+            if chain:
+                chain.append((lsn, DELETED, 0))
+                self._mark_dirty(id)
+                return True
+            if self._block_entry(id) is not None:
+                self._chains[id] = [(lsn, DELETED, 0)]
+                self._mark_dirty(id)
+                return True
+            return False
+
+    # ---------------- reads ----------------
 
     def get(self, id: int, snapshot_lsn: Optional[int] = None) -> Optional[Tuple[int, int]]:
         """Visible (seg_id, row) at snapshot_lsn (None = latest)."""
-        chain = self._chains.get(id)
-        if not chain:
+        ent = self.get_entry(id, snapshot_lsn)
+        if ent is None or ent[1] == DELETED:
             return None
-        for lsn, seg, row in reversed(chain):
-            if snapshot_lsn is None or lsn <= snapshot_lsn:
-                if seg == DELETED:
-                    return None
-                return (seg, row)
-        return None
+        return (ent[1], ent[2])
 
     def get_entry(self, id: int, snapshot_lsn: Optional[int] = None):
-        """Visible chain entry (lsn, seg_id, row) at snapshot (seg_id may be
-        DELETED); None if no entry is visible."""
+        """Visible entry (lsn, seg_id, row) at snapshot (seg_id may be
+        DELETED); None if nothing is visible."""
         chain = self._chains.get(id)
-        if not chain:
-            return None
-        for entry in reversed(chain):
-            if snapshot_lsn is None or entry[0] <= snapshot_lsn:
-                return entry
+        if chain:
+            for entry in reversed(chain):
+                if snapshot_lsn is None or entry[0] <= snapshot_lsn:
+                    return entry
+        ent = self._block_entry(id)
+        if ent is not None and (snapshot_lsn is None or ent[0] <= snapshot_lsn):
+            return ent
         return None
 
     def latest_entry(self, id: int):
         chain = self._chains.get(id)
-        return chain[-1] if chain else None
+        if chain:
+            return chain[-1]
+        return self._block_entry(id)
+
+    # ---------------- remapping (flush/compaction) ----------------
+
+    def remap_bulk(self, old_seg: int, new_seg: int, row_map: np.ndarray) -> None:
+        """Rewrite locations after flush/compaction, vectorized: every entry at
+        (old_seg, row) moves to (new_seg, row_map[row]); row_map[row] == -1
+        marks rows physically dropped (stale versions only)."""
+        with self._lock:
+            for b in self._blocks:
+                if b.seg_id == old_seg:
+                    b.rows = np.where(
+                        b.rows >= 0, row_map[np.maximum(b.rows, 0)], -1
+                    )
+                    b.seg_id = new_seg
+            for chain in self._chains.values():
+                for i, (lsn, seg, row) in enumerate(chain):
+                    if seg == old_seg:
+                        nr = int(row_map[row]) if 0 <= row < len(row_map) else -1
+                        chain[i] = (lsn, new_seg, nr)
 
     def remap(self, mapping: Dict[Tuple[int, int], Tuple[int, int]]) -> None:
-        """Rewrite locations after flush/compaction: {(old_seg, old_row): (new_seg,
-        new_row)} (reference: engine.go:1896-1907 PK remap with CAS check)."""
+        """Dict-based remap (legacy; chains + blocks). Entries absent from the
+        mapping keep their location in chains; block entries of a remapped
+        segment that are absent were dropped rows (-1)."""
         with self._lock:
+            segs: Dict[int, Dict[int, Tuple[int, int]]] = {}
+            for (os_, or_), new in mapping.items():
+                segs.setdefault(os_, {})[or_] = new
+            for b in self._blocks:
+                rows_for_seg = segs.get(b.seg_id)
+                if not rows_for_seg:
+                    continue
+                new_rows = np.full(len(b.rows), -1, np.int64)
+                new_seg = None
+                for i, row in enumerate(b.rows):
+                    new = rows_for_seg.get(int(row))
+                    if new is not None:
+                        new_seg, new_rows[i] = new[0], new[1]
+                if new_seg is not None:
+                    b.rows = new_rows
+                    b.seg_id = new_seg
             for chain in self._chains.values():
                 for i, (lsn, seg, row) in enumerate(chain):
                     new = mapping.get((seg, row))
@@ -110,14 +207,13 @@ class PKIndex:
         with self._lock:
             dead = []
             for id, chain in self._chains.items():
-                # Keep the last entry with lsn <= min_lsn plus everything after.
                 keep_from = 0
                 for i, (lsn, _, _) in enumerate(chain):
                     if lsn <= min_lsn:
                         keep_from = i
                 if keep_from:
                     del chain[:keep_from]
-                if len(chain) == 1:
+                if len(chain) == 1 and self._block_entry(id) is None:
                     if chain[0][1] == DELETED:
                         dead.append(id)
                     elif id in self._dirty:
@@ -130,16 +226,29 @@ class PKIndex:
                 self._dirty_version += 1
 
     def scan(self, snapshot_lsn: Optional[int] = None) -> Iterator[Tuple[int, int, int]]:
-        """Yield (id, seg_id, row) visible at snapshot (reference: LSN-ordered Scan)."""
-        for id in list(self._chains.keys()):
+        """Yield (id, seg_id, row) visible at snapshot."""
+        chains = self._chains
+        for b in self._blocks:
+            vis = (
+                np.ones(len(b.ids), bool)
+                if snapshot_lsn is None
+                else b.lsns <= snapshot_lsn
+            )
+            vis &= b.rows >= 0
+            for i in np.flatnonzero(vis):
+                id = int(b.ids[i])
+                if id in chains:
+                    continue  # resolved below
+                yield id, b.seg_id, int(b.rows[i])
+        for id in list(chains.keys()):
             loc = self.get(id, snapshot_lsn)
-            if loc is not None:
+            if loc is not None and loc[1] >= 0:
                 yield id, loc[0], loc[1]
 
     # ---------------- checkpoint ----------------
 
     def checkpoint_bytes(self) -> bytes:
-        """Flatten all chains to numpy arrays (reference: pk/persist.go:20-97)."""
+        """Serialize blocks + chains (reference: pk/persist.go:20-97)."""
         from vecgo_tpu.storage import container
 
         ids, lsns, segs, rows = [], [], [], []
@@ -150,14 +259,21 @@ class PKIndex:
                     lsns.append(lsn)
                     segs.append(seg)
                     rows.append(row)
-        return container.pack_container(
-            {"kind": "pk_checkpoint", "entries": len(ids)},
-            {
-                "ids": np.asarray(ids, np.uint64),
+            sections = {
+                "ids": np.asarray(ids, np.int64),
                 "lsns": np.asarray(lsns, np.int64),
                 "segs": np.asarray(segs, np.int64),
                 "rows": np.asarray(rows, np.int64),
-            },
+            }
+            blk_meta = []
+            for bi, b in enumerate(self._blocks):
+                sections[f"blk{bi}.ids"] = b.ids
+                sections[f"blk{bi}.rows"] = b.rows
+                sections[f"blk{bi}.lsns"] = b.lsns
+                blk_meta.append(b.seg_id)
+        return container.pack_container(
+            {"kind": "pk_checkpoint", "entries": len(ids), "blocks": blk_meta},
+            sections,
         )
 
     @staticmethod
@@ -175,15 +291,75 @@ class PKIndex:
             pk._chains.setdefault(int(ids[i]), []).append(
                 (int(lsns[i]), int(segs[i]), int(rows[i]))
             )
-        pk._dirty = {id for id, c in pk._chains.items() if len(c) > 1}
+        for bi, seg_id in enumerate(meta.get("blocks", [])):
+            pk._blocks.append(
+                _Block(
+                    np.asarray(secs[f"blk{bi}.ids"], np.int64),
+                    np.asarray(secs[f"blk{bi}.rows"], np.int64),
+                    np.asarray(secs[f"blk{bi}.lsns"], np.int64),
+                    int(seg_id),
+                )
+            )
+        pk._dirty = {
+            id
+            for id, c in pk._chains.items()
+            if len(c) > 1 or pk._block_entry(id) is not None
+        }
+        pk._dirty_version += 1
+        return pk
+
+    @staticmethod
+    def rebuild_from_segments(segments, tombstones) -> "PKIndex":
+        """Vectorized rebuild after recovery without a checkpoint (reference:
+        engine.go:620-712 batch scans). Ids unique across all segments become
+        per-segment blocks; duplicated/tombstoned ids become chains (with
+        per-row delete LSNs from the persisted tombstones)."""
+        pk = PKIndex()
+        if not segments:
+            return pk
+        all_ids = np.concatenate([np.asarray(s.ids, np.int64) for s in segments])
+        uniq, counts = np.unique(all_ids, return_counts=True)
+        dup_ids = uniq[counts > 1]
+        for seg in segments:
+            ids = np.asarray(seg.ids, np.int64)
+            lsns = np.asarray(seg.lsns, np.int64)
+            ts = tombstones.by_seg.get(seg.seg_id)
+            tomb_rows = (
+                np.asarray(ts.rows, np.int64) if ts is not None else np.zeros(0, np.int64)
+            )
+            chainy = np.isin(ids, dup_ids)
+            if len(tomb_rows):
+                tm = np.zeros(len(ids), bool)
+                tm[tomb_rows[tomb_rows < len(ids)]] = True
+                chainy |= tm
+            keep = ~chainy
+            order = np.argsort(ids[keep], kind="stable")
+            rows_kept = np.flatnonzero(keep)[order]
+            pk._blocks.append(
+                _Block(ids[keep][order], rows_kept, lsns[keep][order], seg.seg_id)
+            )
+            for row in np.flatnonzero(chainy):
+                pk._chains.setdefault(int(ids[row]), []).append(
+                    (int(lsns[row]), seg.seg_id, int(row))
+                )
+            # Replay persisted tombstones at their real per-row delete LSNs.
+            if ts is not None:
+                for row, lsn in zip(ts.rows, ts.lsns):
+                    pk._chains.setdefault(int(ids[int(row)]), []).append(
+                        (int(lsn), DELETED, 0)
+                    )
+        # Order chains by LSN; at equal LSN (upsert tombstones the old row with
+        # the new version's LSN) the DELETED entry sorts first so the live
+        # version wins.
+        for chain in pk._chains.values():
+            chain.sort(key=lambda e: (e[0], e[1] != DELETED))
+        pk._dirty = set(pk._chains.keys())
         pk._dirty_version += 1
         return pk
 
     @staticmethod
     def rebuild(segments) -> "PKIndex":
-        """Rebuild from segment id arrays after recovery without a checkpoint
-        (reference: engine.go:620-712). Later segments win at equal LSN: we
-        assign synthetic ascending LSNs by segment order."""
+        """Legacy helper (tests): rebuild with later-segment-wins at LSN 0."""
         pk = PKIndex()
         for seg in segments:
             for row in range(seg.n):

@@ -13,15 +13,23 @@ from vecgo_tpu.model import Metric
 
 
 class RowBuffer:
-    """Accumulates (vector, id, metadata, payload) rows for a segment writer."""
+    """Accumulates (vector, id, metadata, payload) rows for a segment writer.
+
+    Storage is chunked: add_batch appends whole (vectors, ids, lsns) arrays in
+    O(1) (the engine's vectorized flush/compaction paths hand over full
+    slabs); single add() rows accumulate in a pending list flushed to a chunk
+    on demand. docs/payloads stay flat python lists (object-typed).
+    """
 
     def __init__(self, dim: int):
         self.dim = dim
-        self.vectors: List[np.ndarray] = []
-        self.ids: List[int] = []
+        self._chunks: List[tuple] = []  # (x [m,d] f32, ids [m] i64, lsns [m] i64)
+        self._pv: List[np.ndarray] = []  # pending single rows
+        self._pi: List[int] = []
+        self._pl: List[int] = []
+        self._n = 0
         self.docs: List[Optional[dict]] = []
         self.payloads: List[Optional[bytes]] = []
-        self.lsns: List[int] = []
 
     def add(self, vector, id: int, metadata=None, payload: Optional[bytes] = None,
             lsn: int = 0):
@@ -30,40 +38,89 @@ class RowBuffer:
             raise ErrDimensionMismatch(f"got {v.shape[0]}, want {self.dim}")
         if not np.isfinite(v).all():
             raise ErrInvalidVector("vector contains NaN/Inf")
-        self.vectors.append(v)
-        self.ids.append(int(id))
+        self._pv.append(v)
+        self._pi.append(int(id))
+        self._pl.append(int(lsn))
         self.docs.append(metadata)
         self.payloads.append(payload)
-        self.lsns.append(int(lsn))
+        self._n += 1
 
     def add_batch(self, vectors, ids, metadatas=None, payloads=None, lsns=None):
-        vectors = np.asarray(vectors, np.float32)
-        for i in range(vectors.shape[0]):
-            self.add(
-                vectors[i],
-                ids[i],
-                metadatas[i] if metadatas is not None else None,
-                payloads[i] if payloads is not None else None,
-                lsns[i] if lsns is not None else 0,
+        vectors = np.ascontiguousarray(vectors, np.float32)
+        n = vectors.shape[0]
+        if n == 0:
+            return
+        if vectors.shape[1] != self.dim:
+            raise ErrDimensionMismatch(f"got {vectors.shape[1]}, want {self.dim}")
+        if not np.isfinite(vectors).all():
+            raise ErrInvalidVector("batch contains NaN/Inf")
+        self._flush_pending()
+        self._chunks.append(
+            (
+                vectors,
+                np.asarray(ids, np.int64),
+                np.asarray(lsns, np.int64) if lsns is not None else np.zeros(n, np.int64),
             )
+        )
+        self.docs.extend(metadatas if metadatas is not None else [None] * n)
+        self.payloads.extend(payloads if payloads is not None else [None] * n)
+        self._n += n
+
+    def _flush_pending(self):
+        if self._pv:
+            self._chunks.append(
+                (
+                    np.stack(self._pv),
+                    np.asarray(self._pi, np.int64),
+                    np.asarray(self._pl, np.int64),
+                )
+            )
+            self._pv, self._pi, self._pl = [], [], []
 
     def __len__(self):
-        return len(self.ids)
+        return self._n
+
+    def _materialize(self):
+        self._flush_pending()
+        if len(self._chunks) != 1:
+            x = (
+                np.concatenate([c[0] for c in self._chunks])
+                if self._chunks
+                else np.zeros((0, self.dim), np.float32)
+            )
+            ids = (
+                np.concatenate([c[1] for c in self._chunks])
+                if self._chunks
+                else np.zeros(0, np.int64)
+            )
+            lsns = (
+                np.concatenate([c[2] for c in self._chunks])
+                if self._chunks
+                else np.zeros(0, np.int64)
+            )
+            self._chunks = [(x, ids, lsns)]
+        return self._chunks[0]
+
+    @property
+    def ids(self) -> np.ndarray:
+        return self._materialize()[1]
+
+    @property
+    def lsns(self) -> np.ndarray:
+        return self._materialize()[2]
 
     def stacked(self, metric: Metric):
         """Returns (x [N,d] f32 — normalized for cosine, ids [N] u64)."""
-        n = len(self.ids)
-        x = np.stack(self.vectors) if n else np.zeros((0, self.dim), np.float32)
-        if metric == Metric.COSINE and n:
+        x, ids, _ = self._materialize()
+        if metric == Metric.COSINE and len(ids):
             x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
-        return x, np.asarray(self.ids, np.uint64)
+        return x, ids.astype(np.uint64)
 
     def reorder(self, order: np.ndarray):
-        self.vectors = [self.vectors[i] for i in order]
-        self.ids = [self.ids[i] for i in order]
+        x, ids, lsns = self._materialize()
+        self._chunks = [(x[order], ids[order], lsns[order])]
         self.docs = [self.docs[i] for i in order]
         self.payloads = [self.payloads[i] for i in order]
-        self.lsns = [self.lsns[i] for i in order]
 
 
 def csr_bytes_sections(
