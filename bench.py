@@ -254,6 +254,42 @@ def main():
         log(f"vamana phase failed: {e!r}")
         extras["vamana_error"] = repr(e)
 
+    # ---------------- beyond-HBM streaming scan ----------------
+    # Host-resident corpus, bounded device memory: row blocks stream through
+    # a running top-k (reference: lazy block reads + RAM->NVMe tier). On this
+    # dev tunnel the ~36 MB/s H2D bound dominates; production PCIe (~16 GB/s)
+    # makes a full pass ~30 ms.
+    try:
+        import ml_dtypes
+
+        from vecgo_tpu.index.common import raw_score_fn
+        from vecgo_tpu.ops import topk as TT
+
+        x16_host = x.astype(ml_dtypes.bfloat16)
+        rn_host = np.einsum("nd,nd->n", x, x, dtype=np.float64).astype(np.float32)
+        qs_small = jnp.asarray(q_all[:256])
+
+        def stream_once():
+            return TT.streaming_topk_scored(
+                qs_small,
+                {"vectors": x16_host, "rnorm2": rn_host},
+                n, K, raw_score_fn(Metric.L2),
+            )[1]
+
+        ids_s = np.asarray(stream_once())
+        rec_s = sum(
+            len(set(map(int, ids_s[b])) & set(map(int, gt_i[b]))) for b in range(256)
+        ) / (256 * K)
+        t0 = time.perf_counter()
+        jax.block_until_ready(stream_once())
+        dt = time.perf_counter() - t0
+        extras["stream_qps"] = round(256 / dt, 1)
+        extras["stream_recall"] = round(rec_s, 4)
+        extras["stream_pass_s"] = round(dt, 2)
+    except Exception as e:  # noqa: BLE001
+        log(f"streaming phase failed: {e!r}")
+        extras["stream_error"] = repr(e)
+
     # ---------------- engine ingest (deferred-style bulk) ----------------
     # Reference: BatchInsertDeferred ~2M vec/s (doc.go:33-35). Host-only path:
     # one memtable slab write + one PK block per batch.

@@ -62,7 +62,8 @@ class EngineOptions:
     auto_compact: bool = True
     background: bool = False  # run flush/compaction on background threads
     flush_interval_s: float = 5.0  # background loop cadence
-    memory_limit_bytes: int = 0  # resource controller cap (0 = unlimited)
+    memory_limit_bytes: int = 0  # host memtable cap; ErrBackpressure over it (0 = unlimited)
+    hbm_budget_bytes: int = 0  # device residency budget; over-budget segments stream (0 = unlimited)
     schema: Optional[Schema] = None
     read_only: bool = False
     verify_checksum: bool = True
@@ -137,6 +138,18 @@ class Engine:
         self._segments: List[SegmentHandle] = []
         self._tombstones = TombstoneSet()
         self._tracker = SnapshotTracker()
+        from vecgo_tpu.engine.resource import Controller, DeviceBudget
+
+        # Host memtable backpressure (reference: 1 GB default engine.go:446).
+        self._mem_controller = Controller(
+            options.memory_limit_bytes, observer=options.observer
+        )
+        # HBM residency budget: over-budget segments stream (beyond-HBM tier).
+        self._device_budget = (
+            DeviceBudget(options.hbm_budget_bytes)
+            if options.hbm_budget_bytes > 0
+            else None
+        )
         self._lexical = None
         if options.lexical:
             from vecgo_tpu.lexical.bm25 import BM25Index
@@ -325,9 +338,11 @@ class Engine:
             and self._lexical is None
             and n >= 2
         )
+        row_bytes = self.options.dim * 4 + 64
         if bulk:
             if not np.isfinite(vectors).all():
                 raise ErrInvalidVector("batch contains NaN/Inf")
+            self._mem_controller.acquire(n * row_bytes)
             with self._lock:
                 id0 = self._next_id
                 self._next_id += n
@@ -352,6 +367,7 @@ class Engine:
                 self.commit()
             return list(range(id0, id0 + n))
         out = []
+        self._mem_controller.acquire(n * row_bytes)
         with self._lock:
             for i in range(n):
                 md = metadatas[i] if metadatas is not None else None
@@ -495,7 +511,8 @@ class Engine:
         self._tracker.register(snap)
         try:
             ids, dists, locs, stats = search_mod.search_snapshot(
-                snap, self.pk, qs, opts, self.options
+                snap, self.pk, qs, opts, self.options,
+                device_budget=self._device_budget,
             )
             results = []
             for bi in range(qs.shape[0]):
@@ -606,6 +623,7 @@ class Engine:
             if new_handle is not None:
                 self._segments.append(new_handle)
                 self.memtable = MemTable(self.options.dim, self.options.metric)
+                self._mem_controller.set_used(0)  # memtable drained to disk
             self._version = version
             self._save_manifest()
             min_lsn = self._tracker.min_live_lsn(self._lsn)
@@ -918,6 +936,12 @@ class Engine:
                 "tombstoned_rows": dead,
                 "live_rows": len(self.memtable) + seg_rows - dead,
                 "pk_entries": len(self.pk),
+                "memtable_bytes": self._mem_controller.used,
+                "hbm": (
+                    self._device_budget.stats()
+                    if self._device_budget is not None
+                    else None
+                ),
             }
 
     def cache_stats(self) -> dict:

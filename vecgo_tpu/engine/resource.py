@@ -44,6 +44,72 @@ class Controller:
             self._used = nbytes
 
 
+class DeviceBudget:
+    """HBM residency manager: segments ask to keep device state resident;
+    over-budget admissions evict the least-recently-used resident segment
+    (its release_device() drops the HBM copies — host arrays remain, and
+    searches fall back to streaming scans).
+
+    The TPU analogue of the reference's block-cache economics
+    (internal/cache, engine.go:425-477): HBM plays the RAM tier, host RAM
+    plays the NVMe tier, the streaming scan plays the lazy block read
+    (diskann/segment.go:1151 readBlock).
+    """
+
+    def __init__(self, budget_bytes: int = 0):
+        self.budget = budget_bytes
+        self._lock = threading.Lock()
+        self._resident = {}  # key -> (nbytes, release_fn); insertion = LRU order
+        self.evictions = 0
+
+    @property
+    def used(self) -> int:
+        with self._lock:
+            return sum(nb for nb, _ in self._resident.values())
+
+    def admit(self, key, nbytes: int, release_fn) -> bool:
+        """Try to make `key` resident; returns False if it can never fit
+        (nbytes > budget) — the caller should stream instead."""
+        if self.budget <= 0:
+            return True  # unlimited
+        with self._lock:
+            if key in self._resident:
+                self._resident[key] = self._resident.pop(key)  # LRU touch
+                return True
+            if nbytes > self.budget:
+                return False
+            used = sum(nb for nb, _ in self._resident.values())
+            while used + nbytes > self.budget and self._resident:
+                victim, (nb, rel) = next(iter(self._resident.items()))
+                del self._resident[victim]
+                used -= nb
+                self.evictions += 1
+                try:
+                    rel()
+                except Exception:
+                    pass
+            self._resident[key] = (nbytes, release_fn)
+            return True
+
+    def touch(self, key) -> None:
+        with self._lock:
+            if key in self._resident:
+                self._resident[key] = self._resident.pop(key)
+
+    def drop(self, key) -> None:
+        with self._lock:
+            self._resident.pop(key, None)
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                "budget_bytes": self.budget,
+                "used_bytes": sum(nb for nb, _ in self._resident.values()),
+                "resident": len(self._resident),
+                "evictions": self.evictions,
+            }
+
+
 class RateLimiter:
     """Token-bucket byte/s limiter for flush/compaction writers
     (reference: resource/io.go)."""

@@ -69,6 +69,7 @@ def search_snapshot(
     q: np.ndarray,  # [B, d] float32
     opts: SearchOptions,
     options,  # EngineOptions
+    device_budget=None,  # resource.DeviceBudget or None (unlimited HBM)
 ):
     """Execute a (batched) search against a snapshot.
 
@@ -93,6 +94,7 @@ def search_snapshot(
     # ---------------- plan + dispatch per source ----------------
     t_plan = time.perf_counter()
     pending = []  # (seg_id_or_-1, d_dev, rows_dev, source)
+    streamed = set()  # seg_ids searched without device residency
 
     # Memtable.
     mem = snap.memtable
@@ -136,8 +138,38 @@ def search_snapshot(
                 n_pruned += 1
                 continue
         kk = min(fetch_k, seg.n)
+        # HBM residency: over-budget segments stream host blocks through the
+        # device with a running top-k (reference: lazy block reads,
+        # diskann/segment.go:1151; two-tier cache engine.go:425-477).
+        resident = True
+        if device_budget is not None:
+            resident = device_budget.admit(
+                ("seg", seg.seg_id), seg.device_bytes(), seg.release_device
+            )
+        if not resident:
+            streamed.add(seg.seg_id)
         if isinstance(seg, FlatSegment):
-            d, rows = seg.search(qd, kk, mask=mask, nprobes=opts.nprobes)
+            if resident:
+                d, rows = seg.search(qd, kk, mask=mask, nprobes=opts.nprobes)
+            else:
+                d, rows = seg.search_streaming(
+                    qd, kk, mask=mask, nprobes=opts.nprobes
+                )
+            n_brute += 1
+        elif not resident:
+            # Beyond-HBM graph segment: exact streaming brute force over the
+            # host-resident full vectors (graph traversal needs residency).
+            from vecgo_tpu.index.common import raw_score_fn
+            from vecgo_tpu.ops import topk as T
+
+            d, rows = T.streaming_topk_scored(
+                qd,
+                {"vectors": seg.vectors, "rnorm2": seg.rnorm2},
+                seg.n,
+                kk,
+                raw_score_fn(metric),
+                mask=mask,
+            )
             n_brute += 1
         else:
             cutoff = (
@@ -183,9 +215,15 @@ def search_snapshot(
     for seg_id, d, rows, src in pending:
         if seg_id >= 0:
             seg = src
-            needs = (not isinstance(seg, FlatSegment)) or seg.quant.kind != "none"
-            if needs:
-                d = seg.rerank(qd, rows)
+            if seg_id in streamed:
+                # Streamed path scored raw/quantized blocks; exact rerank
+                # gathers candidates from HOST (no device residency).
+                if (not isinstance(seg, FlatSegment)) or seg.quant.kind != "none":
+                    d = seg.rerank_host(qd, rows)
+            else:
+                needs = (not isinstance(seg, FlatSegment)) or seg.quant.kind != "none"
+                if needs:
+                    d = seg.rerank(qd, rows)
         reranked.append((seg_id, d, rows))
 
     t_rerank = time.perf_counter()

@@ -169,6 +169,69 @@ def row_sections(x: np.ndarray, ids: np.ndarray, docs, payloads, lsns=None):
     return sections, md_meta, cm
 
 
+_RERANK_JIT = {}
+
+
+def rerank_host_rows(q, rows, vectors_host: np.ndarray, rnorm2_host: np.ndarray, metric):
+    """Exact rerank for a beyond-HBM segment: candidate vectors gather on the
+    HOST (the segment's device copy was never admitted / was evicted) and only
+    the [B, C, d] candidate tile uploads. Returns [B, C] f32 device distances."""
+    import jax
+    import jax.numpy as jnp
+
+    from vecgo_tpu.model import Metric
+
+    metric = Metric(metric) if not isinstance(metric, Metric) else metric
+    fn = _RERANK_JIT.get(metric)
+    if fn is None:
+        def _rr(q, rows, v, rn):
+            qf = q.astype(jnp.float32)
+            if metric == Metric.COSINE:
+                from vecgo_tpu.ops import distance as D
+
+                qf = D.normalize(qf)
+            prod = jnp.einsum(
+                "bcd,bd->bc", v, qf, precision=jax.lax.Precision.HIGHEST
+            )
+            if metric == Metric.L2:
+                d = jnp.maximum(
+                    jnp.sum(qf * qf, -1, keepdims=True) + rn - 2.0 * prod, 0.0
+                )
+            elif metric == Metric.DOT:
+                d = -prod
+            else:
+                d = 1.0 - prod
+            return jnp.where(rows >= 0, d, jnp.inf)
+
+        fn = jax.jit(_rr)
+        _RERANK_JIT[metric] = fn
+    rows_np = np.asarray(rows)
+    safe = np.maximum(rows_np, 0)
+    v = jnp.asarray(np.ascontiguousarray(vectors_host[safe], np.float32))
+    rn = jnp.asarray(rnorm2_host[safe].astype(np.float32))
+    return fn(q, jnp.asarray(rows_np), v, rn)
+
+
+_RAW_SCORERS = {}
+
+
+def raw_score_fn(metric):
+    """Stable score closure over {"vectors", "rnorm2"} blocks (full-precision
+    rows; used by streaming scans of graph segments' host arrays)."""
+    from vecgo_tpu import quantization as Q
+
+    key = getattr(metric, "value", metric)
+    fn = _RAW_SCORERS.get(key)
+    if fn is None:
+        quant = Q.create("none", dim=0)
+
+        def fn(q, extra, blk):
+            return quant.score(q, blk, metric)
+
+        _RAW_SCORERS[key] = fn
+    return fn
+
+
 def csr_lookup(data: Optional[np.ndarray], indptr: Optional[np.ndarray], row: int):
     if data is None:
         return None

@@ -258,6 +258,22 @@ class FlatSegment:
         self._dev = None
         self._score_fn = None
 
+    def device_bytes(self) -> int:
+        """HBM footprint of device_state() (for DeviceBudget admission)."""
+        total = sum(a.nbytes for a in self.enc_host.values())
+        if self.quant.kind != "none":
+            total += self.vectors.nbytes + self.rnorm2.nbytes
+        if self.ivf_part is not None:
+            total += self.ivf_part.nbytes
+        return int(total)
+
+    def rerank_host(self, q, rows):
+        """Exact rerank gathering candidate rows from HOST memory (beyond-HBM
+        mode: the segment has no device residency)."""
+        from vecgo_tpu.index.common import rerank_host_rows
+
+        return rerank_host_rows(q, rows, self.vectors, self.rnorm2, self.metric)
+
     def _scorer(self):
         """Stable score_fn closure (same object across calls -> jit cache hits)."""
         if self._score_fn is None:
@@ -328,6 +344,53 @@ class FlatSegment:
             mask=dmask,
             extra=extra,
             block_rows=block_rows,
+        )
+
+    def search_streaming(
+        self,
+        q,  # jnp [B, d] (already normalized upstream for cosine)
+        k: int,
+        mask: Optional[np.ndarray] = None,
+        nprobes: int = 0,
+        block_rows: int = 131072,
+    ):
+        """Beyond-HBM search: encoded arrays stay host-resident; row blocks
+        stream through the device with a running top-k. Same results as
+        search(); device memory bounded at O(block_rows)."""
+        import jax.numpy as jnp
+
+        from vecgo_tpu.ops import topk as topk_ops
+
+        if self.n == 0:
+            b = q.shape[0]
+            return (
+                jnp.full((b, k), jnp.inf, jnp.float32),
+                jnp.full((b, k), -1, jnp.int32),
+            )
+        enc_host = {
+            k_: np.asarray(v)
+            for k_, v in self.enc_host.items()
+        }
+        extra = None
+        if (
+            self.ivf_centroids is not None
+            and nprobes > 0
+            and nprobes < int(self.meta["ivf"]["partitions"])
+        ):
+            from vecgo_tpu.ops import distance as D
+            from vecgo_tpu.ops import topk as T
+
+            cd = D.squared_l2(q, jnp.asarray(self.ivf_centroids))
+            _, probes = T.topk_smallest(cd, nprobes)
+            extra = {"probes": probes.astype(jnp.int32)}
+            enc_host["__ivf_part"] = np.asarray(self.ivf_part)
+        elif self.ivf_part is not None:
+            # The scorer closure reads __ivf_part only when probes are set;
+            # ship it anyway so the enc dict structure matches the jit cache.
+            enc_host["__ivf_part"] = np.asarray(self.ivf_part)
+        return topk_ops.streaming_topk_scored(
+            q, enc_host, self.n, k, self._scorer(),
+            mask=mask, extra=extra, block_rows=block_rows,
         )
 
     def rerank(self, q, rows):

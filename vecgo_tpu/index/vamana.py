@@ -428,6 +428,21 @@ class VamanaSegment:
     def release_device(self):
         self._dev = None
 
+    def device_bytes(self) -> int:
+        """HBM footprint of device_state() (for DeviceBudget admission)."""
+        n, d = self.n, self.dim
+        total = n * d * 2 + n * 4 + self.graph.nbytes + n * d * 4
+        if self.entry_centroids is not None:
+            total += self.entry_centroids.nbytes + self.entry_nodes.nbytes
+        return int(total)
+
+    def rerank_host(self, q, rows):
+        """Exact rerank gathering candidate rows from HOST memory (beyond-HBM
+        mode: the segment has no device residency)."""
+        from vecgo_tpu.index.common import rerank_host_rows
+
+        return rerank_host_rows(q, rows, self.vectors, self.rnorm2, self.metric)
+
     def search(
         self,
         q,  # jnp [B, d] (normalized upstream for cosine)

@@ -24,6 +24,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vecgo_tpu.ops import distance as dist_ops
 
@@ -242,6 +243,69 @@ def blockwise_topk_scored(
     return _blockwise_scored_jit(
         q, enc, mask, extra, score_fn, k, block_rows, n
     )
+
+
+@functools.partial(jax.jit, static_argnames=("score_fn", "k", "block_rows"))
+def _stream_step_jit(q, enc_blk, mask_blk, extra, carry_d, carry_i, base, n_valid,
+                     score_fn, k: int, block_rows: int):
+    """One streamed block: score an uploaded [block_rows]-row slice and merge
+    into the running top-k."""
+    scores = score_fn(q, extra, enc_blk)
+    row_ids = base + jax.lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
+    valid = row_ids < n_valid
+    if mask_blk is not None:
+        valid = valid & mask_blk[None, :]
+    scores = jnp.where(valid, scores, _INF)
+    d_loc, i_loc = topk_smallest_fast(scores, min(k, block_rows))
+    return merge_topk_sorted(
+        carry_d, carry_i, d_loc, (i_loc + base).astype(jnp.int32), k
+    )
+
+
+def streaming_topk_scored(
+    q,  # jnp [B, d]
+    enc_host: dict,  # name -> np.ndarray [N, ...] HOST-resident
+    n: int,
+    k: int,
+    score_fn,
+    *,
+    mask=None,  # np bool [N] or None
+    extra=None,
+    block_rows: int = 131072,
+):
+    """Beyond-HBM streaming scan: the encoded arrays stay in HOST memory; row
+    blocks upload on demand and fold into a running device top-k. Device
+    memory stays bounded at O(block) regardless of segment size — the TPU
+    analogue of the reference's lazy block-cached reads
+    (diskann/segment.go:1151; two-tier cache engine.go:425-477).
+
+    JAX async dispatch double-buffers automatically: block i+1's H2D upload
+    is enqueued while block i's matmul runs.
+    """
+    b = q.shape[0]
+    block_rows = max(128, min(block_rows, n))
+    carry_d = jnp.full((b, k), _INF, jnp.float32)
+    carry_i = jnp.full((b, k), -1, jnp.int32)
+    for s in range(0, n, block_rows):
+        e = min(s + block_rows, n)
+        enc_blk = {}
+        for name, arr in enc_host.items():
+            blk = arr[s:e]
+            if e - s < block_rows:  # pad the tail to the static shape
+                blk = np.pad(blk, [(0, block_rows - (e - s))] + [(0, 0)] * (arr.ndim - 1))
+            enc_blk[name] = jnp.asarray(blk)
+        mask_blk = None
+        if mask is not None:
+            mb = mask[s:e]
+            if e - s < block_rows:
+                mb = np.pad(mb, (0, block_rows - (e - s)))
+            mask_blk = jnp.asarray(mb)
+        carry_d, carry_i = _stream_step_jit(
+            q, enc_blk, mask_blk, extra, carry_d, carry_i,
+            jnp.int32(s), jnp.int32(n), score_fn, k, block_rows,
+        )
+    carry_i = jnp.where(jnp.isfinite(carry_d), carry_i, -1)
+    return carry_d, carry_i
 
 
 def blockwise_topk_search(
