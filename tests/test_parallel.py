@@ -51,3 +51,93 @@ def test_sharded_kmeans_matches_single_device(mesh8):
 
     c_ref, _ = _lloyd(jnp.asarray(x), jnp.asarray(centers0), 5, 4096)
     np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_snapshot_searcher(mesh8):
+    """Engine-level sharded search: committed segments row-sharded over the
+    mesh, tombstones respected, global ids returned."""
+    import numpy as np
+
+    from vecgo_tpu.blobstore import MemoryStore
+    from vecgo_tpu.engine import Engine, EngineOptions
+    from vecgo_tpu.parallel.engine_shard import ShardedSnapshotSearcher
+    from vecgo_tpu.utils import testutil as tu
+
+    eng = Engine.open(
+        MemoryStore(),
+        EngineOptions(dim=16, flush_threshold=10**9, graph_threshold=10**9,
+                      compaction_threshold=10**9),
+        create=True,
+    )
+    x = tu.gaussian_vectors(600, 16, seed=90)
+    ids = eng.insert_batch(x[:300]); eng.commit()
+    ids2 = eng.insert_batch(x[300:]); eng.commit()
+    eng.delete(ids[5])
+    snap = eng.snapshot()
+    try:
+        s = ShardedSnapshotSearcher(snap, mesh8, eng.options.metric)
+        q = x[4:12]
+        got, dist = s.search(q, k=5)
+    finally:
+        snap.release()
+    all_ids = ids + ids2
+    _, ti = tu.brute_force_knn(q, x, 6, "l2")
+    for bi in range(8):
+        want = [all_ids[j] for j in ti[bi] if all_ids[j] != ids[5]][:5]
+        assert list(got[bi]) == want
+
+
+def test_sharded_cluster_knn_matches_local(mesh8):
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vecgo_tpu.index.build_fast import _cluster_knn
+    from vecgo_tpu.parallel.engine_shard import sharded_cluster_knn
+    from vecgo_tpu.utils import testutil as tu
+
+    n, d = 512, 16
+    x = tu.gaussian_vectors(n, d, seed=91)
+    rn_np = np.einsum("nd,nd->n", x, x, dtype=np.float64).astype(np.float32)
+    members = np.arange(n, dtype=np.int32).reshape(8, 64)
+    slots = np.zeros((8, 64), np.int32)
+    import ml_dtypes
+
+    rep = NamedSharding(mesh8, P())
+    x16 = jax.device_put(x.astype(ml_dtypes.bfloat16), rep)
+    rn = jax.device_put(rn_np, rep)
+    got = np.asarray(
+        sharded_cluster_knn(x16, rn, members, slots, 8, 1, n, 1, mesh8)
+    )
+    want = np.asarray(
+        _cluster_knn(
+            jnp.asarray(x, jnp.bfloat16), jnp.asarray(rn_np),
+            jnp.asarray(members), jnp.asarray(slots), 8, 1, n, 1,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_build_graph_clustered_on_mesh(mesh8):
+    """Full fast build with the cluster-KNN stage sharded over the mesh
+    (mesh must live on the default platform)."""
+    import numpy as np
+
+    from vecgo_tpu.index.build_fast import build_graph_clustered
+    from vecgo_tpu.utils import testutil as tu
+
+    n, d = 6000, 24
+    x, _ = tu.clustered_vectors(n, d, n_clusters=24, seed=92)
+    g_mesh, medoid, ecent, enodes = build_graph_clustered(
+        x, r=16, cluster_size=512, seed=42, mesh=mesh8
+    )
+    assert g_mesh.shape == (n, 16)
+    deg = (g_mesh >= 0).sum(1)
+    assert deg.mean() > 4
+    # Searchable with decent recall (same harness as test_build_fast).
+    from tests.test_build_fast import _search_recall
+
+    q = x[:64] + np.random.default_rng(93).standard_normal((64, d)).astype(np.float32) * 0.01
+    _, ti = tu.brute_force_knn(q, x, 10, "l2")
+    rec = _search_recall(x, g_mesh, medoid, ecent, enodes, q, ti)
+    assert rec >= 0.9, f"mesh-built graph recall {rec}"

@@ -88,6 +88,10 @@ class DB:
     def hybrid_search(self, q, text: str, k: int = 10, **kw):
         return self.engine.hybrid_search(q, text, k, **kw)
 
+    def sharded_searcher(self, mesh):
+        """Multi-chip searcher over the committed snapshot (parallel plane)."""
+        return self.engine.sharded_searcher(mesh)
+
     # Durability / maintenance
     def commit(self) -> int:
         return self.engine.commit()

@@ -944,6 +944,18 @@ class Engine:
                 ),
             }
 
+    def sharded_searcher(self, mesh):
+        """Row-shard the committed snapshot across a device mesh and return a
+        multi-chip searcher (reference analogue: stateless read replicas +
+        per-segment fan-out, vecgo.go:151-179, engine/search.go:790-909)."""
+        from vecgo_tpu.parallel.engine_shard import ShardedSnapshotSearcher
+
+        snap = self.snapshot()
+        try:
+            return ShardedSnapshotSearcher(snap, mesh, self.options.metric)
+        finally:
+            snap.release()
+
     def cache_stats(self) -> dict:
         """Block-cache stats when the store is a CachingStore
         (reference: Engine.CacheStats engine.go:2123+)."""

@@ -378,6 +378,7 @@ def build_graph_clustered(
     hop2: int = 64,
     restarts: int = 1,
     return_device: bool = False,
+    mesh=None,  # jax.sharding.Mesh: shard the cluster-KNN stage across it
 ) -> Tuple[np.ndarray, int, np.ndarray, np.ndarray]:
     """Build a Vamana-style graph over x [N, d] without graph search.
 
@@ -423,16 +424,31 @@ def build_graph_clustered(
     rn_host[:n] = np.einsum("nd,nd->n", x, x, dtype=np.float64).astype(np.float32)
 
     # ONE bf16 corpus upload; exact f32 norms ride along (host f64 reduce).
-    x16 = jnp.asarray(xb)
-    rnorm2 = jnp.asarray(rn_host)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        rep = NamedSharding(mesh, _P())
+        x16 = jax.device_put(xb, rep)
+        rnorm2 = jax.device_put(rn_host, rep)
+    else:
+        x16 = jnp.asarray(xb)
+        rnorm2 = jnp.asarray(rn_host)
     mean16 = jnp.asarray(x.mean(0, dtype=np.float64).astype(ml_dtypes.bfloat16))
     medoid_dev = jnp.argmin(rnorm2 - 2.0 * (x16 @ mean16).astype(jnp.float32))
 
     # JL projections (device): [0] doubles as the RobustPrune occlusion space;
     # each restart partitions under its own projection.
     pdim = min(OCC_DIM, d)
+
+    def _to_dev(arr):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            return jax.device_put(arr, NamedSharding(mesh, _P()))
+        return jnp.asarray(arr)
+
     projs = [
-        jnp.asarray(
+        _to_dev(
             (rng.standard_normal((d, pdim)) / math.sqrt(pdim)).astype(
                 ml_dtypes.bfloat16
             )
@@ -512,12 +528,21 @@ def build_graph_clustered(
                 enodes_t >= 0, enodes_t, medoid_dev.astype(jnp.int32)
             )
         knn_eff = min(knn, min(cmax, n) - 1)
-        cand_parts.append(
-            _cluster_knn(
+        if mesh is not None:
+            # The FLOP-dominant stage shards across the mesh: clusters are
+            # independent work units (parallel/engine_shard.sharded_cluster_knn).
+            from vecgo_tpu.parallel.engine_shard import sharded_cluster_knn
+
+            cand_t = sharded_cluster_knn(
+                x16, rnorm2, np.asarray(members), np.asarray(mem_slot),
+                knn_eff, ov_t, pad_n, g_batch, mesh,
+            )
+        else:
+            cand_t = _cluster_knn(
                 x16, rnorm2, members, mem_slot,
                 knn_eff, ov_t, pad_n, g_batch,
-            )[:pad_n].reshape(pad_n, ov_t * knn_eff)
-        )
+            )
+        cand_parts.append(cand_t[:pad_n].reshape(pad_n, ov_t * knn_eff))
     cand = cand_parts[0] if len(cand_parts) == 1 else jnp.concatenate(cand_parts, axis=1)
 
     # ---- NN-descent on a pure-KNN working list (no pruning yet) ----

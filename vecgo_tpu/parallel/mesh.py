@@ -56,6 +56,7 @@ class ShardedFlat:
         mesh: Mesh,
         metric: Metric = Metric.L2,
         block_rows: int = 8192,
+        mask: Optional[np.ndarray] = None,  # host bool [N]: rows eligible
     ):
         self.mesh = mesh
         self.metric = metric
@@ -73,6 +74,11 @@ class ShardedFlat:
         self.x = jax.device_put(xp, x_sharding)
         rn = np.einsum("nd,nd->n", xp, xp, dtype=np.float64).astype(np.float32)
         self.rnorm2 = jax.device_put(rn, NamedSharding(mesh, P("shard")))
+        self.mask = None
+        if mask is not None:
+            mp = np.zeros(xp.shape[0], bool)
+            mp[: self.n] = mask[: self.n]
+            self.mask = jax.device_put(mp, NamedSharding(mesh, P("shard")))
         self._search_fn = None
         self._search_k = None
 
@@ -82,8 +88,9 @@ class ShardedFlat:
         shard_rows = self.shard_rows
         n_valid = self.n
         block_rows = min(self.block_rows, shard_rows)
+        has_mask = self.mask is not None
 
-        def local_search(q, x, rn):
+        def local_search(q, x, rn, *m):
             # q: [B/dp, d] (replicated over shard); x: [rows/shard, d]
             sidx = jax.lax.axis_index("shard")
             base = sidx * shard_rows
@@ -91,6 +98,8 @@ class ShardedFlat:
             local_valid = (
                 jnp.arange(shard_rows, dtype=jnp.int32) + base < n_valid
             )
+            if has_mask:
+                local_valid = local_valid & m[0]
             d_loc, i_loc = T.blockwise_topk_search(
                 q,
                 x,
@@ -107,10 +116,13 @@ class ShardedFlat:
             i_all = jax.lax.all_gather(i_glob, "shard", axis=1, tiled=True)
             return T.topk_smallest_with_ids(d_all, i_all, k)
 
+        in_specs = [P("dp", None), P("shard", None), P("shard")]
+        if has_mask:
+            in_specs.append(P("shard"))
         fn = jax.shard_map(
             local_search,
             mesh=mesh,
-            in_specs=(P("dp", None), P("shard", None), P("shard")),
+            in_specs=tuple(in_specs),
             out_specs=(P("dp", None), P("dp", None)),
             # Outputs ARE shard-replicated (all_gather + identical reduction on
             # every shard); the varying-axis checker can't infer that.
@@ -133,7 +145,10 @@ class ShardedFlat:
             )
         q_sharding = NamedSharding(self.mesh, P("dp", None))
         qd = jax.device_put(qd, q_sharding)
-        d, i = self._search_fn(qd, self.x, self.rnorm2)
+        if self.mask is not None:
+            d, i = self._search_fn(qd, self.x, self.rnorm2, self.mask)
+        else:
+            d, i = self._search_fn(qd, self.x, self.rnorm2)
         return d, i
 
 
