@@ -466,3 +466,57 @@ def test_bulk_insert_fast_path_interop():
     np.testing.assert_allclose(eng2.get(ids[9]).vector, upd, rtol=1e-6)
     with pytest.raises(ErrNotFound):
         eng2.get(ids[7])
+
+
+def test_hamming_metric_end_to_end():
+    """Hamming as an engine-level metric (reference: distance.go:66-73
+    MetricHamming): 0/1 vectors, exact bit-count distances, full lifecycle."""
+    rng = np.random.default_rng(61)
+    x = (rng.random((300, 64)) < 0.5).astype(np.float32)
+    eng = new_engine(dim=64, metric=Metric.HAMMING)
+    ids = eng.insert_batch(x)
+    q = x[17].copy()
+    q[:5] = 1.0 - q[:5]  # flip 5 bits
+    res = eng.search(q, k=3)
+    assert res[0].id == ids[17]
+    assert abs(res[0].distance - 5.0) < 1e-3  # exact bit count
+    eng.commit()  # through a flat segment too
+    res = eng.search(q, k=3)
+    assert res[0].id == ids[17] and abs(res[0].distance - 5.0) < 1e-3
+    # non-binary input rejected
+    with pytest.raises(ErrInvalidVector):
+        eng.insert_batch(np.full((1, 64), 0.5, np.float32))
+    # self-distance is zero
+    assert eng.search(x[3], k=1)[0].distance == 0.0
+
+
+def test_stats_depth_and_observer_surface():
+    """nodes_visited / distance_computations populated; observer receives
+    search duration + memtable status + queue depth (round-1 gaps)."""
+    from vecgo_tpu.engine.metrics import CountingObserver
+
+    obs = CountingObserver()
+    eng = new_engine(graph_threshold=200, compaction_threshold=2, observer=obs)
+    x = tu.gaussian_vectors(600, D, seed=62)
+    eng.insert_batch(x[:300]); eng.commit()
+    eng.insert_batch(x[300:]); eng.commit()  # compaction -> vamana
+    assert any(s["kind"] == "vamana" for s in eng.stats()["segments"])
+    res = eng.search(x[0], k=5, with_stats=True)
+    st = res.stats
+    assert st.nodes_visited > 0  # graph expansions counted
+    assert st.distance_computations > st.rows_considered  # batch-aware
+    assert obs.counters.get("searches", 0) >= 1
+    assert obs.timings.get("search_s", 0) > 0  # duration now reported
+    assert "memtable_rows" in obs.counters  # on_memtable_status called
+
+
+def test_structured_logging(caplog):
+    import logging
+
+    eng = new_engine(logger=logging.getLogger("t_vg"))
+    x = tu.gaussian_vectors(50, D, seed=63)
+    with caplog.at_level(logging.INFO, logger="t_vg"):
+        eng.insert_batch(x)
+        eng.commit()
+    msgs = " ".join(r.message for r in caplog.records)
+    assert "commit: version=" in msgs

@@ -76,6 +76,7 @@ class EngineOptions:
     selectivity_cutoff: float = 0.30
     lexical: bool = False  # BM25 over insert(text=...)
     observer: Any = None  # MetricsObserver
+    logger: Any = None  # logging.Logger (reference: WithLogger/slog, engine.go:158)
     seed: int = 42
 
     def to_config(self) -> dict:
@@ -138,6 +139,9 @@ class Engine:
         self._segments: List[SegmentHandle] = []
         self._tombstones = TombstoneSet()
         self._tracker = SnapshotTracker()
+        import logging as _logging
+
+        self._log = options.logger or _logging.getLogger("vecgo_tpu.engine")
         from vecgo_tpu.engine.resource import Controller, DeviceBudget
 
         # Host memtable backpressure (reference: 1 GB default engine.go:446).
@@ -223,6 +227,11 @@ class Engine:
             eng._rebuild_pk()
         if options.lexical and eng._lexical is not None:
             eng._rebuild_lexical()
+        eng._log.info(
+            "open: version=%d segments=%d lsn=%d pk=%s",
+            eng._version, len(eng._segments), eng._lsn,
+            "checkpoint" if ckpt else "rebuilt",
+        )
         return eng
 
     def _gc_orphans(self, grace_s: Optional[float] = None):
@@ -339,6 +348,10 @@ class Engine:
             and n >= 2
         )
         row_bytes = self.options.dim * 4 + 64
+        if self.options.metric == Metric.HAMMING:
+            # Hamming vectors are 0/1-encoded (distance == squared L2 exactly).
+            if not np.isin(vectors, (0.0, 1.0)).all():
+                raise ErrInvalidVector("hamming metric requires 0/1 vectors")
         if bulk:
             if not np.isfinite(vectors).all():
                 raise ErrInvalidVector("batch contains NaN/Inf")
@@ -360,6 +373,9 @@ class Engine:
                 obs = self.options.observer
                 if obs is not None:
                     obs.on_insert(n)
+                    obs.on_memtable_status(
+                        len(self.memtable), self._mem_controller.used
+                    )
             if (
                 self.options.auto_flush
                 and len(self.memtable) >= self.options.flush_threshold
@@ -399,6 +415,9 @@ class Engine:
             obs = self.options.observer
             if obs is not None:
                 obs.on_insert(n)
+                obs.on_memtable_status(
+                    len(self.memtable), self._mem_controller.used
+                )
         if self.options.auto_flush and len(self.memtable) >= self.options.flush_threshold:
             self.commit()
         return out
@@ -509,6 +528,7 @@ class Engine:
         )
         snap = self.snapshot()
         self._tracker.register(snap)
+        t_search = time.time()
         try:
             ids, dists, locs, stats = search_mod.search_snapshot(
                 snap, self.pk, qs, opts, self.options,
@@ -532,31 +552,42 @@ class Engine:
                 results.append(SearchResult(candidates=cands, stats=stats))
             obs = self.options.observer
             if obs is not None:
-                obs.on_search(qs.shape[0])
+                obs.on_search(qs.shape[0], time.time() - t_search)
             return results
         finally:
             self._tracker.unregister(snap)
             snap.release()
 
-    def hybrid_search(self, q, text: str, k: int = 10, rrf_k: int = 60, **kw) -> SearchResult:
-        """Vector + BM25 with RRF fusion (reference: HybridSearch engine.go:1538)."""
+    def hybrid_search(
+        self, q, text: str, k: int = 10, rrf_k: int = 60, pool: int = 0, **kw
+    ) -> SearchResult:
+        """Vector + BM25 with RRF fusion (reference: HybridSearch engine.go:1538
+        — vector top-2k + lexical top-2k -> 1/(rrfK+rank) merge).
+
+        `pool` controls the per-modality rank window (default 2k, min 20).
+        Vector hits reuse their already-materialized candidates; only
+        lexical-only ids pay a point lookup."""
         if self._lexical is None:
             raise ValueError("lexical index not enabled (EngineOptions.lexical)")
-        pool = max(2 * k, 20)
+        pool = pool or max(2 * k, 20)
         vres = self.search(q, pool, **kw)
         lres = self._lexical.search(text, pool)
         scores: Dict[int, float] = {}
+        vmap: Dict[int, Candidate] = {}
         for rank, c in enumerate(vres.candidates):
             scores[c.id] = scores.get(c.id, 0.0) + 1.0 / (rrf_k + rank + 1)
+            vmap[c.id] = c
         for rank, (id, _) in enumerate(lres):
             scores[id] = scores.get(id, 0.0) + 1.0 / (rrf_k + rank + 1)
         top = sorted(scores.items(), key=lambda kv: -kv[1])[:k]
         out = []
         for id, s in top:
-            try:
-                c = self.get(id)
-            except ErrNotFound:
-                continue
+            c = vmap.get(id)
+            if c is None:  # lexical-only hit: one point lookup
+                try:
+                    c = self.get(id)
+                except ErrNotFound:
+                    continue
             c.distance = -s  # smaller-is-better convention
             out.append(c)
         return SearchResult(candidates=out)
@@ -631,6 +662,10 @@ class Engine:
             obs = self.options.observer
             if obs is not None:
                 obs.on_flush(n, time.time() - t0)
+            self._log.info(
+                "commit: version=%d rows=%d dur=%.3fs", self._version, n,
+                time.time() - t0,
+            )
         if self.options.auto_compact:
             self.compact_if_needed()
         return self._version
@@ -803,6 +838,10 @@ class Engine:
             obs = self.options.observer
             if obs is not None:
                 obs.on_compaction(len(inputs), out_seg.n, time.time() - t0)
+            self._log.info(
+                "compact: %d segments -> seg %d (%s, %d rows) dur=%.3fs",
+                len(inputs), out_seg_id, kind, out_seg.n, time.time() - t0,
+            )
         return self._version
 
     # ==================== write batch ====================
@@ -841,6 +880,13 @@ class Engine:
             self._bg_stop.wait(self.options.flush_interval_s)
             if self._bg_stop.is_set():
                 return
+            obs = self.options.observer
+            if obs is not None:
+                # Queue depth = pending background work units (reference
+                # OnQueueDepth): a due flush + a due compaction.
+                depth = int(len(self.memtable) >= self.options.flush_threshold)
+                depth += int(bool(self.pick_compaction()))
+                obs.on_queue_depth(depth)
             if len(self.memtable) >= self.options.flush_threshold:
                 self.commit()
                 self._compact_signal.set()
@@ -898,6 +944,10 @@ class Engine:
             for name in self.store.list("pk_"):
                 if name not in referenced:
                     self.store.delete(name)
+            self._log.info(
+                "vacuum: deleted %d versions, %d blobs",
+                len(deleted_versions), len(deleted_blobs),
+            )
             return {
                 "deleted_versions": deleted_versions,
                 "deleted_blobs": deleted_blobs,
@@ -998,6 +1048,7 @@ class Engine:
                     _json.dumps({"version": self._version, "blob": name}).encode(),
                 )
             self._closed = True
+        self._log.info("close: version=%d", self._version)
 
 
 class WriteBatch:

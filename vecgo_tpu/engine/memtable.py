@@ -219,7 +219,7 @@ class MemTable:
                     m[: e - s] &= mask[s:e]
                 cmask = jnp.asarray(m)
             d, i = T.blockwise_topk_search(
-                q, vec, k, metric=self.metric, x_norms_sq=rn, mask=cmask,
+                q, vec, k, metric=self.metric.compute(), x_norms_sq=rn, mask=cmask,
                 block_rows=CHUNK, x_normalized=True,
             )
             out_d, out_i = T.merge_topk(out_d, out_i, d, i + s, k)
@@ -237,7 +237,7 @@ class MemTable:
                 q,
                 jnp.asarray(tail),
                 k,
-                metric=self.metric,
+                metric=self.metric.compute(),
                 mask=jnp.asarray(m),
                 block_rows=CHUNK,
                 x_normalized=True,

@@ -95,6 +95,7 @@ def search_snapshot(
     t_plan = time.perf_counter()
     pending = []  # (seg_id_or_-1, d_dev, rows_dev, source)
     streamed = set()  # seg_ids searched without device residency
+    dist_comps_mem = 0
 
     # Memtable.
     mem = snap.memtable
@@ -110,10 +111,15 @@ def search_snapshot(
             d, rows = mem.search(qd, min(fetch_k, n_vis), n_vis, mask)
             pending.append((-1, d, rows, mem))
             if stats:
-                stats.rows_considered += n_vis if mask is None else int(mask.sum())
+                rows_c = n_vis if mask is None else int(mask.sum())
+                stats.rows_considered += rows_c
+                dist_comps_mem = rows_c
 
     # Segments.
     n_brute = n_graph = n_pruned = 0
+    b = q.shape[0]
+    dist_comps = 0  # pairwise distance evaluations across the whole batch
+    nodes_visited = 0  # graph nodes expanded across the whole batch
     for h in snap.segments:
         seg = h.segment
         if seg.n == 0:
@@ -138,6 +144,7 @@ def search_snapshot(
                 n_pruned += 1
                 continue
         kk = min(fetch_k, seg.n)
+        was_graph = False
         # HBM residency: over-budget segments stream host blocks through the
         # device with a running top-k (reference: lazy block reads,
         # diskann/segment.go:1151; two-tier cache engine.go:425-477).
@@ -196,15 +203,28 @@ def search_snapshot(
                 n_brute += 1
             else:
                 ef = max(opts.ef or options.ef_search, kk)
-                d, rows = seg.search(
-                    qd, kk, mask=mask, ef=ef,
-                    beam_width=opts.beam_width or options.beam_width,
-                )
+                bw = opts.beam_width or options.beam_width
+                d, rows = seg.search(qd, kk, mask=mask, ef=ef, beam_width=bw)
                 n_graph += 1
+                was_graph = True
+                if stats:
+                    # Lockstep traversal: static per-query step budget
+                    # (ops/beam.beam_search max_steps) x beam width nodes
+                    # expanded, each scoring R neighbors.
+                    import math as _math
+
+                    steps = ef // max(bw, 1) + 8 + int(
+                        _math.ceil(_math.log2(max(seg.n, 2)))
+                    )
+                    nodes_visited += b * steps * bw
+                    dist_comps += b * steps * bw * seg.r
         if stats:
-            stats.rows_considered += seg.n if mask is None else int(mask.sum())
+            rows_c = seg.n if mask is None else int(mask.sum())
+            stats.rows_considered += rows_c
             if mask is not None:
                 stats.rows_filtered_out += seg.n - int(mask.sum())
+            if not was_graph:
+                dist_comps += b * rows_c  # brute scans score every row
         pending.append((seg.seg_id, d, rows, seg))
 
     t_score = time.perf_counter()
@@ -345,7 +365,14 @@ def search_snapshot(
         stats.segments_pruned = n_pruned
         stats.segments_brute_force = n_brute
         stats.segments_graph = n_graph
-        stats.distance_computations = stats.rows_considered * 1
+        # Brute scans score every considered row against every query; graph
+        # traversals contribute their expansion product; rerank adds the
+        # candidate tiles.
+        stats.nodes_visited = nodes_visited
+        rerank_width = sum(r[2].shape[1] for r in reranked)
+        stats.distance_computations = (
+            dist_comps + b * dist_comps_mem + b * rerank_width
+        )
         if fs is not None:
             sel_total = stats.rows_considered
             all_total = snap.mem_rows + sum(h.segment.n for h in snap.segments)

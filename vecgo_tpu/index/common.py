@@ -182,6 +182,7 @@ def rerank_host_rows(q, rows, vectors_host: np.ndarray, rnorm2_host: np.ndarray,
     from vecgo_tpu.model import Metric
 
     metric = Metric(metric) if not isinstance(metric, Metric) else metric
+    metric = metric.compute()
     fn = _RERANK_JIT.get(metric)
     if fn is None:
         def _rr(q, rows, v, rn):

@@ -278,7 +278,7 @@ class FlatSegment:
         """Stable score_fn closure (same object across calls -> jit cache hits)."""
         if self._score_fn is None:
             quant = self.quant
-            metric = self.metric
+            metric = self.metric.compute()
             has_ivf = self.ivf_part is not None
 
             def score_fn(q, extra, blk):
@@ -405,7 +405,7 @@ class FlatSegment:
         full = dev.get("__full", dev.get("vectors"))
         rn = dev.get("__full_rnorm2", dev.get("rnorm2"))
         if self._rerank_fn is None:
-            metric = self.metric
+            metric = self.metric.compute()
 
             def _rr(q, rows, full, rn):
                 safe = jnp.maximum(rows, 0)

@@ -513,7 +513,7 @@ class VamanaSegment:
 
         dev = self.device_state()
         if self._rerank_fn is None:
-            metric = self.metric
+            metric = self.metric.compute()
 
             def _rr(q, rows, full, rn):
                 safe = jnp.maximum(rows, 0)

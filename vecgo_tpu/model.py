@@ -27,6 +27,16 @@ class Metric(enum.Enum):
     DOT = "dot"
     HAMMING = "hamming"
 
+    def compute(self) -> "Metric":
+        """The scoring-space metric. HAMMING vectors are 0/1-encoded floats,
+        for which hamming(u, v) == ||u - v||^2 EXACTLY — so the whole L2
+        compute path (matmul scoring, graphs, IVF, rerank) serves hamming
+        unchanged and distances come back as exact bit counts. (The
+        reference's dedicated XOR+popcount kernels, simd Hamming, exist to
+        make CPU scans fast; on the MXU the matmul identity is the fast path.)
+        """
+        return Metric.L2 if self is Metric.HAMMING else self
+
 
 @dataclass(frozen=True)
 class Location:

@@ -113,6 +113,7 @@ def pairwise_scores(
     # Late import to avoid cycles.
     from vecgo_tpu.model import Metric
 
+    metric = metric.compute()  # HAMMING scores as L2 over 0/1 vectors
     if metric == Metric.L2:
         return squared_l2(q, x, x_norms_sq, compute_dtype)
     if metric == Metric.DOT:

@@ -102,7 +102,7 @@ def _blockwise_search_jit(
 ):
     from vecgo_tpu.model import Metric
 
-    metric = Metric(metric_name)
+    metric = Metric(metric_name).compute()
     compute_dtype = jnp.dtype(compute_dtype_name) if compute_dtype_name else None
     b = q.shape[0]
     n_pad = x.shape[0]

@@ -59,7 +59,7 @@ class ShardedFlat:
         mask: Optional[np.ndarray] = None,  # host bool [N]: rows eligible
     ):
         self.mesh = mesh
-        self.metric = metric
+        self.metric = metric.compute() if hasattr(metric, "compute") else metric
         self.n = x.shape[0]
         self.dim = x.shape[1]
         self.block_rows = block_rows
