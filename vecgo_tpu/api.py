@@ -85,6 +85,10 @@ class DB:
     def search_batch(self, qs, k: int = 10, **kw):
         return self.engine.search_batch(qs, k, **kw)
 
+    def search_arrays(self, qs, k: int = 10, **kw):
+        """Bulk serving path: (ids, dists) arrays, pipelined chunks."""
+        return self.engine.search_arrays(qs, k, **kw)
+
     def hybrid_search(self, q, text: str, k: int = 10, **kw):
         return self.engine.hybrid_search(q, text, k, **kw)
 

@@ -510,12 +510,51 @@ class Engine:
         res = self.search_batch(np.asarray(q, np.float32)[None, :], k, **kw)
         return res[0]
 
+    def search_arrays(self, qs, k: int = 10, **kw):
+        """Bulk search returning plain (ids [B, k] int64, dists [B, k] f32)
+        arrays — no Candidate materialization. The high-throughput serving
+        entry point: query batches of any size pipeline through CHUNK_B-query
+        device programs and drain in one stacked transfer (engine/search.py).
+        Accepts device-resident (jax) query arrays."""
+        if self._closed:
+            raise ErrClosed("engine is closed")
+        if not (hasattr(qs, "devices") and hasattr(qs, "block_until_ready")):
+            qs = np.asarray(qs, np.float32)
+        if qs.ndim != 2 or qs.shape[1] != self.options.dim:
+            raise ErrDimensionMismatch(f"query shape {qs.shape}")
+        opts = SearchOptions(k=k)
+        for key, val in kw.items():
+            if not hasattr(opts, key):
+                raise TypeError(f"unknown search option {key!r}")
+            setattr(opts, key, val)
+        opts.selectivity_cutoff = kw.get(
+            "selectivity_cutoff", self.options.selectivity_cutoff
+        )
+        snap = self.snapshot()
+        self._tracker.register(snap)
+        t_search = time.time()
+        try:
+            ids, dists, _, _ = search_mod.search_snapshot(
+                snap, self.pk, qs, opts, self.options,
+                device_budget=self._device_budget,
+            )
+            obs = self.options.observer
+            if obs is not None:
+                obs.on_search(qs.shape[0], time.time() - t_search)
+            return ids, dists
+        finally:
+            self._tracker.unregister(snap)
+            snap.release()
+
     def search_batch(self, qs, k: int = 10, **kw) -> List[SearchResult]:
         """Batched search (reference: BatchSearch engine.go:1303; on TPU the
         batch IS the natural unit — queries ride one device program)."""
         if self._closed:
             raise ErrClosed("engine is closed")
-        qs = np.asarray(qs, np.float32)
+        # Device-resident query batches pass through untouched (a np.asarray
+        # round-trip would force a D2H copy before re-uploading).
+        if not (hasattr(qs, "devices") and hasattr(qs, "block_until_ready")):
+            qs = np.asarray(qs, np.float32)
         if qs.ndim != 2 or qs.shape[1] != self.options.dim:
             raise ErrDimensionMismatch(f"query shape {qs.shape}")
         opts = SearchOptions(k=k)

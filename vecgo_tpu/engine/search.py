@@ -9,22 +9,47 @@ TPU-first restructuring:
   estimated) — the 30% cutoff decides graph-vs-brute for *vamana* segments only
   (flat segments are always a masked scan: that IS their search).
 - Per-segment device calls dispatch asynchronously (JAX async dispatch replaces
-  the goroutine-per-segment fan-out); the host merges [B, k'] results.
+  the goroutine-per-segment fan-out).
 - Rerank = exact matmul over gathered candidates.
+- Cross-source merge happens ON DEVICE: per-source (dist, coded-location)
+  pairs sort in one lax.sort and only the [2, B, fetch_k+margin] winner tile
+  crosses back to the host (the round-1 design shipped the full per-source
+  candidate width; on the dev tunnel the D2H payload and the [B, W] host
+  argsort were the planner tax).
+- Query batches larger than one chunk PIPELINE: the plan (masks, strategy) is
+  computed once per snapshot, every chunk's device work dispatches without a
+  sync, and ALL chunks drain in a single stacked D2H (JAX async dispatch
+  overlaps chunk i+1's upload/compute with chunk i's transfers — the TPU
+  analogue of the reference's goroutine-per-query BatchSearch,
+  engine.go:1303-1366).
 - Visibility check compares the candidate row's insert LSN against the PK
   chain — immune to flush/compaction remaps.
 """
 
 from __future__ import annotations
 
+import functools
 import time
-from typing import List, Optional
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
 
 import numpy as np
 
 from vecgo_tpu.index.flat import FlatSegment, bloom_may_contain
 from vecgo_tpu.metadata import Op, as_filterset
 from vecgo_tpu.model import Candidate, Metric, QueryStats, SearchOptions, SearchResult
+
+# Coded device merge limits: row < 2^25 per segment, <= 64 sources
+# (slot<<25 | row fits int32 exactly at slot 63).
+_ROW_BITS = 25
+_ROW_LIMIT = 1 << _ROW_BITS
+_MAX_SLOTS = 64
+# Extra merged candidates beyond fetch_k: headroom for entries dropped by the
+# MVCC visibility check / dirty-id dedup on churned ids.
+_VIS_MARGIN = 16
+
+# Pipelined search chunk (queries per device program).
+CHUNK_B = 1024
 
 
 def can_prune_segment(stats: dict, fs) -> bool:
@@ -63,43 +88,38 @@ def can_prune_segment(stats: dict, fs) -> bool:
     return False
 
 
-def search_snapshot(
-    snap,
-    pk,
-    q: np.ndarray,  # [B, d] float32
-    opts: SearchOptions,
-    options,  # EngineOptions
-    device_budget=None,  # resource.DeviceBudget or None (unlimited HBM)
-):
-    """Execute a (batched) search against a snapshot.
+@dataclass
+class _Source:
+    seg_id: int  # -1 = memtable
+    source: Any  # MemTable or segment object
+    kind: str  # mem | flat | flat_stream | graph | graph_stream | brute_masked
+    mask: Optional[np.ndarray]
+    rows_considered: int
+    n: int  # row count of the source
 
-    Returns (ids [B, k] int64 (-1 pad), dists [B, k] f32, locations list of
-    per-query [(seg_id, row), ...], stats).
-    """
-    import jax.numpy as jnp
 
-    from vecgo_tpu.ops.distance import normalize
+@dataclass
+class _Plan:
+    sources: List[_Source] = field(default_factory=list)
+    n_brute: int = 0
+    n_graph: int = 0
+    n_pruned: int = 0
+    segments_total: int = 0
+    rows_considered: int = 0
+    rows_filtered_out: int = 0
+    total_rows: int = 0
+    filtered: bool = False
 
-    t0 = time.perf_counter()
-    stats = QueryStats() if opts.with_stats else None
-    k = opts.k
-    fetch_k = max(k * max(opts.refine_factor, 1), k)
+
+def _plan_snapshot(snap, opts, options, device_budget) -> _Plan:
+    """Per-snapshot strategy selection + mask construction (chunk-invariant)."""
+    plan = _Plan()
     fs = as_filterset(opts.filter)
-    metric = options.metric
+    plan.filtered = fs is not None
 
-    qd = jnp.asarray(q, jnp.float32)
-    if metric == Metric.COSINE:
-        qd = normalize(qd)
-
-    # ---------------- plan + dispatch per source ----------------
-    t_plan = time.perf_counter()
-    pending = []  # (seg_id_or_-1, d_dev, rows_dev, source)
-    streamed = set()  # seg_ids searched without device residency
-    dist_comps_mem = 0
-
-    # Memtable.
     mem = snap.memtable
     n_vis = snap.mem_rows
+    plan.total_rows = n_vis + sum(h.segment.n for h in snap.segments)
     if n_vis:
         mask = None
         if fs is not None:
@@ -108,26 +128,17 @@ def search_snapshot(
         if dead is not None:
             mask = ~dead if mask is None else (mask & ~dead)
         if mask is None or mask.any():
-            d, rows = mem.search(qd, min(fetch_k, n_vis), n_vis, mask)
-            pending.append((-1, d, rows, mem))
-            if stats:
-                rows_c = n_vis if mask is None else int(mask.sum())
-                stats.rows_considered += rows_c
-                dist_comps_mem = rows_c
+            rows_c = n_vis if mask is None else int(mask.sum())
+            plan.sources.append(_Source(-1, mem, "mem", mask, rows_c, n_vis))
+            plan.rows_considered += rows_c
 
-    # Segments.
-    n_brute = n_graph = n_pruned = 0
-    b = q.shape[0]
-    dist_comps = 0  # pairwise distance evaluations across the whole batch
-    nodes_visited = 0  # graph nodes expanded across the whole batch
     for h in snap.segments:
         seg = h.segment
         if seg.n == 0:
             continue
-        if stats:
-            stats.segments_total += 1
+        plan.segments_total += 1
         if can_prune_segment(h.info.stats, fs):
-            n_pruned += 1
+            plan.n_pruned += 1
             continue
         mask = None
         selectivity = 1.0
@@ -135,16 +146,14 @@ def search_snapshot(
             mask = seg.filter_mask(fs)
             selectivity = float(mask.mean())
             if selectivity == 0.0:
-                n_pruned += 1
+                plan.n_pruned += 1
                 continue
         dead = snap.tombstones.deleted_mask(seg.seg_id, seg.n, snap.lsn)
         if dead is not None:
             mask = ~dead if mask is None else (mask & ~dead)
             if not mask.any():
-                n_pruned += 1
+                plan.n_pruned += 1
                 continue
-        kk = min(fetch_k, seg.n)
-        was_graph = False
         # HBM residency: over-budget segments stream host blocks through the
         # device with a running top-k (reference: lazy block reads,
         # diskann/segment.go:1151; two-tier cache engine.go:425-477).
@@ -153,31 +162,16 @@ def search_snapshot(
             resident = device_budget.admit(
                 ("seg", seg.seg_id), seg.device_bytes(), seg.release_device
             )
-        if not resident:
-            streamed.add(seg.seg_id)
+        rows_c = seg.n if mask is None else int(mask.sum())
+        if mask is not None:
+            plan.rows_filtered_out += seg.n - rows_c
+        plan.rows_considered += rows_c
         if isinstance(seg, FlatSegment):
-            if resident:
-                d, rows = seg.search(qd, kk, mask=mask, nprobes=opts.nprobes)
-            else:
-                d, rows = seg.search_streaming(
-                    qd, kk, mask=mask, nprobes=opts.nprobes
-                )
-            n_brute += 1
+            kind = "flat" if resident else "flat_stream"
+            plan.n_brute += 1
         elif not resident:
-            # Beyond-HBM graph segment: exact streaming brute force over the
-            # host-resident full vectors (graph traversal needs residency).
-            from vecgo_tpu.index.common import raw_score_fn
-            from vecgo_tpu.ops import topk as T
-
-            d, rows = T.streaming_topk_scored(
-                qd,
-                {"vectors": seg.vectors, "rnorm2": seg.rnorm2},
-                seg.n,
-                kk,
-                raw_score_fn(metric),
-                mask=mask,
-            )
-            n_brute += 1
+            kind = "graph_stream"
+            plan.n_brute += 1
         else:
             cutoff = (
                 opts.selectivity_cutoff
@@ -185,91 +179,385 @@ def search_snapshot(
                 else (1.1 if opts.prefilter else -0.1)
             )
             if fs is not None and selectivity <= cutoff:
-                # Brute-force the eligible rows (cheap on MXU at low selectivity
-                # ... and at high selectivity too; the graph only wins on very
-                # large segments — cutoff is configurable).
-                from vecgo_tpu.ops import topk as T
-
-                dev = seg.device_state()
-                d, rows = T.blockwise_topk_search(
-                    qd,
-                    dev["full"],
-                    kk,
-                    metric=metric,
-                    x_norms_sq=dev["rnorm2"],
-                    mask=jnp.asarray(mask),
-                    x_normalized=True,
-                )
-                n_brute += 1
+                # Brute-force the eligible rows (cheap on MXU at low
+                # selectivity; the graph only wins on very large segments —
+                # cutoff is configurable).
+                kind = "brute_masked"
+                plan.n_brute += 1
             else:
-                ef = max(opts.ef or options.ef_search, kk)
-                bw = opts.beam_width or options.beam_width
-                d, rows = seg.search(qd, kk, mask=mask, ef=ef, beam_width=bw)
-                n_graph += 1
-                was_graph = True
-                if stats:
-                    # Lockstep traversal: static per-query step budget
-                    # (ops/beam.beam_search max_steps) x beam width nodes
-                    # expanded, each scoring R neighbors.
-                    import math as _math
+                kind = "graph"
+                plan.n_graph += 1
+        plan.sources.append(
+            _Source(seg.seg_id, seg, kind, mask, rows_c, seg.n)
+        )
+    return plan
 
-                    steps = ef // max(bw, 1) + 8 + int(
-                        _math.ceil(_math.log2(max(seg.n, 2)))
-                    )
-                    nodes_visited += b * steps * bw
-                    dist_comps += b * steps * bw * seg.r
-        if stats:
-            rows_c = seg.n if mask is None else int(mask.sum())
-            stats.rows_considered += rows_c
-            if mask is not None:
-                stats.rows_filtered_out += seg.n - int(mask.sum())
-            if not was_graph:
-                dist_comps += b * rows_c  # brute scans score every row
-        pending.append((seg.seg_id, d, rows, seg))
 
-    t_score = time.perf_counter()
+def _dispatch_chunk(plan: _Plan, qd, opts, options):
+    """Score + rerank one query chunk against every planned source.
 
-    # ---------------- rerank (exact distances) ----------------
-    # Graph results are bf16-precision; quantized flat results approximate.
+    Pure device dispatch — no host sync. Returns (reranked, counters) where
+    reranked = [(seg_id, d_dev [B,w], rows_dev [B,w])] and counters feed stats.
+    """
+    import jax.numpy as jnp
+
+    from vecgo_tpu.ops import topk as T
+
+    b = qd.shape[0]
+    k = opts.k
+    fetch_k = max(k * max(opts.refine_factor, 1), k)
+    metric = options.metric
     reranked = []
-    for seg_id, d, rows, src in pending:
-        if seg_id >= 0:
-            seg = src
-            if seg_id in streamed:
-                # Streamed path scored raw/quantized blocks; exact rerank
-                # gathers candidates from HOST (no device residency).
+    dist_comps = 0
+    nodes_visited = 0
+
+    for src in plan.sources:
+        kk = min(fetch_k, src.n)
+        if src.kind == "mem":
+            d, rows = src.source.search(qd, kk, src.n, src.mask)
+            dist_comps += b * src.rows_considered
+        elif src.kind == "flat":
+            d, rows = src.source.search(
+                qd, kk, mask=src.mask, nprobes=opts.nprobes
+            )
+            dist_comps += b * src.rows_considered
+        elif src.kind == "flat_stream":
+            d, rows = src.source.search_streaming(
+                qd, kk, mask=src.mask, nprobes=opts.nprobes
+            )
+            dist_comps += b * src.rows_considered
+        elif src.kind == "graph_stream":
+            # Beyond-HBM graph segment: exact streaming brute force over the
+            # host-resident full vectors (graph traversal needs residency).
+            from vecgo_tpu.index.common import raw_score_fn
+
+            seg = src.source
+            d, rows = T.streaming_topk_scored(
+                qd,
+                {"vectors": seg.vectors, "rnorm2": seg.rnorm2},
+                seg.n,
+                kk,
+                raw_score_fn(metric),
+                mask=src.mask,
+            )
+            dist_comps += b * src.rows_considered
+        elif src.kind == "brute_masked":
+            seg = src.source
+            dev = seg.device_state()
+            d, rows = T.blockwise_topk_search(
+                qd,
+                dev["full"],
+                kk,
+                metric=metric,
+                x_norms_sq=dev["rnorm2"],
+                mask=jnp.asarray(src.mask),
+                x_normalized=True,
+            )
+            dist_comps += b * src.rows_considered
+        else:  # graph
+            seg = src.source
+            ef = max(opts.ef or options.ef_search, kk)
+            bw = opts.beam_width or options.beam_width
+            d, rows = seg.search(qd, kk, mask=src.mask, ef=ef, beam_width=bw)
+            # Lockstep traversal: static per-query step budget x beam width
+            # nodes expanded, each scoring R neighbors (two-stage IVF path
+            # adds its probe matmul, counted as n_probe block scans).
+            import math as _math
+
+            steps = ef // max(bw, 1) + 8 + int(
+                _math.ceil(_math.log2(max(seg.n, 2)))
+            )
+            nodes_visited += b * steps * bw
+            dist_comps += b * steps * bw * seg.r
+
+        # ---- exact rerank (graph results are bf16; quantized approximate) ----
+        if src.seg_id >= 0:
+            seg = src.source
+            if src.kind in ("flat_stream", "graph_stream"):
                 if (not isinstance(seg, FlatSegment)) or seg.quant.kind != "none":
                     d = seg.rerank_host(qd, rows)
             else:
-                needs = (not isinstance(seg, FlatSegment)) or seg.quant.kind != "none"
-                if needs:
+                if (not isinstance(seg, FlatSegment)) or seg.quant.kind != "none":
                     d = seg.rerank(qd, rows)
-        reranked.append((seg_id, d, rows))
+        reranked.append((src.seg_id, d, rows))
+        dist_comps += b * (rows.shape[1] if hasattr(rows, "shape") else 0)
+    return reranked, dist_comps, nodes_visited
 
-    t_rerank = time.perf_counter()
 
-    # ---------------- host merge + visibility (vectorized) ----------------
-    # One packed D2H transfer for all sources: per-transfer latency dominates
-    # engine throughput (measured ~24 ms/transfer through the device tunnel),
-    # so (dists, rows) of every source ship as a single [2, B, W] array
-    # (rows bitcast into the f32 payload).
-    b = q.shape[0]
-    if not reranked:
+@functools.lru_cache(maxsize=64)
+def _merge_jit(widths: tuple, out_w: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _merge(*parts):
+        half = len(parts) // 2
+        ds, rs = parts[:half], parts[half:]
+        coded = []
+        for slot, r in enumerate(rs):
+            coded.append(
+                jnp.where(
+                    r >= 0,
+                    jnp.int32(slot << _ROW_BITS) | r.astype(jnp.int32),
+                    jnp.int32(-1),
+                )
+            )
+        d_all = jnp.concatenate([d.astype(jnp.float32) for d in ds], axis=1)
+        c_all = jnp.concatenate(coded, axis=1)
+        d_all = jnp.where(c_all >= 0, d_all, jnp.inf)
+        sd, sc = jax.lax.sort((d_all, c_all), num_keys=1)
+        sd, sc = sd[:, :out_w], sc[:, :out_w]
+        return jnp.stack(
+            [jax.lax.bitcast_convert_type(sd, jnp.int32), sc]
+        )
+
+    return _merge
+
+
+def _merge_device(reranked, fetch_k: int):
+    """Sort every source's candidates on device; return packed [2, B, W]
+    (f32-bits-as-i32 distances, coded slot<<25|row locations)."""
+    widths = tuple(int(r[2].shape[1]) for r in reranked)
+    out_w = min(sum(widths), fetch_k + _VIS_MARGIN)
+    fn = _merge_jit(widths, out_w)
+    parts = [d for _, d, _ in reranked] + [rows for _, _, rows in reranked]
+    return fn(*parts), out_w
+
+
+def _finish_chunk(
+    packed_host: np.ndarray,  # [2, B, W]
+    slot_seg_ids: List[int],
+    snap,
+    pk,
+    opts,
+):
+    """Decode + MVCC visibility + compact to k (host, vectorized)."""
+    k = opts.k
+    D = packed_host[0].view(np.float32)
+    C = packed_host[1]
+    b, w = D.shape
+    valid = np.isfinite(D) & (C >= 0)
+    S_slot = np.where(valid, C >> _ROW_BITS, 0)
+    R = np.where(valid, C & (_ROW_LIMIT - 1), -1)
+
+    seg_ids_arr = np.asarray(slot_seg_ids, np.int32)
+    S = seg_ids_arr[S_slot]  # [B, W] actual seg ids (-1 memtable)
+
+    # Gather candidate ids/lsns per source slot.
+    IDS = np.full((b, w), -1, np.int64)
+    LSNS = np.full((b, w), -1, np.int64)
+    mem_ids = (
+        np.asarray(snap.memtable.ids[: snap.mem_rows], np.int64)
+        if snap.mem_rows
+        else None
+    )
+    mem_lsns = (
+        np.asarray(snap.memtable.lsns[: snap.mem_rows], np.int64)
+        if snap.mem_rows
+        else None
+    )
+    segmap = {h.seg_id: h.segment for h in snap.segments}
+    for slot, seg_id in enumerate(seg_ids_arr):
+        m = valid & (S_slot == slot)
+        if not m.any():
+            continue
+        if seg_id == -1:
+            ids_src, lsns_src = mem_ids, mem_lsns
+        else:
+            seg = segmap[int(seg_id)]
+            ids_src = seg.ids.astype(np.int64, copy=False)
+            lsns_src = seg.lsns
+        rr = R[m]
+        IDS[m] = ids_src[rr]
+        LSNS[m] = lsns_src[rr]
+
+    # MVCC visibility fast path: ids with a single chain version are trivially
+    # visible; only multi-version ("dirty") ids need a chain lookup.
+    dirty = pk.dirty_sorted()
+    if len(dirty):
+        from vecgo_tpu.engine.pk import DELETED
+
+        flagged = valid & np.isin(IDS, dirty, assume_unique=False)
+        for bi, j in zip(*np.nonzero(flagged)):
+            ent = pk.get_entry(int(IDS[bi, j]), snap.lsn)
+            if ent is None or ent[1] == DELETED or ent[0] != int(LSNS[bi, j]):
+                valid[bi, j] = False
+        # Dedup within a row can only involve dirty ids (single-version ids
+        # exist in exactly one physical location).
+        for bi in set(np.nonzero(flagged.any(axis=1))[0]):
+            seen = set()
+            for j in range(valid.shape[1]):
+                if not valid[bi, j]:
+                    continue
+                cid = int(IDS[bi, j])
+                if cid in seen:
+                    valid[bi, j] = False
+                else:
+                    seen.add(cid)
+
+    # Stable-compact the first k valid entries per row.
+    sel = np.argsort(~valid, axis=1, kind="stable")[:, :k]
+    kk = sel.shape[1]
+    got = np.take_along_axis(valid, sel, axis=1)
+    out_ids = np.full((b, k), -1, np.int64)
+    out_d = np.full((b, k), np.inf, np.float32)
+    out_ids[:, :kk] = np.where(got, np.take_along_axis(IDS, sel, axis=1), -1)
+    out_d[:, :kk] = np.where(
+        got, np.take_along_axis(D, sel, axis=1), np.inf
+    )
+    sel_seg = np.take_along_axis(S, sel, axis=1)
+    sel_row = np.take_along_axis(R, sel, axis=1)
+    out_loc: List[List] = [
+        [(int(sel_seg[bi, j]), int(sel_row[bi, j])) for j in range(kk) if got[bi, j]]
+        for bi in range(b)
+    ]
+    return out_ids, out_d, out_loc
+
+
+def _coded_mergeable(plan: _Plan) -> bool:
+    return len(plan.sources) <= _MAX_SLOTS and all(
+        s.n < _ROW_LIMIT for s in plan.sources
+    )
+
+
+def search_snapshot(
+    snap,
+    pk,
+    q,  # [B, d] float32 (np or device array)
+    opts: SearchOptions,
+    options,  # EngineOptions
+    device_budget=None,  # resource.DeviceBudget or None (unlimited HBM)
+):
+    """Execute a (batched) search against a snapshot.
+
+    Query batches larger than CHUNK_B are pipelined: per-chunk device programs
+    dispatch back-to-back and drain through ONE stacked D2H transfer.
+
+    Returns (ids [B, k] int64 (-1 pad), dists [B, k] f32, locations list of
+    per-query [(seg_id, row), ...], stats).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vecgo_tpu.ops.distance import normalize
+
+    t0 = time.perf_counter()
+    stats = QueryStats() if opts.with_stats else None
+    k = opts.k
+    fetch_k = max(k * max(opts.refine_factor, 1), k)
+
+    qd = q if isinstance(q, jax.Array) else jnp.asarray(q, jnp.float32)
+    qd = qd.astype(jnp.float32)
+    if options.metric == Metric.COSINE:
+        qd = normalize(qd)
+    b = qd.shape[0]
+
+    plan = _plan_snapshot(snap, opts, options, device_budget)
+    t_plan = time.perf_counter()
+
+    if not plan.sources:
         empty_ids = np.full((b, k), -1, np.int64)
         empty_d = np.full((b, k), np.inf, np.float32)
         if stats:
             stats.strategy = "empty"
+            stats.total_time_s = time.perf_counter() - t0
         return empty_ids, empty_d, [[] for _ in range(b)], stats
 
-    import jax
+    coded = _coded_mergeable(plan)
+    slot_seg_ids = [s.seg_id for s in plan.sources]
 
-    # Single packed transfer: distances ride as their raw f32 bits inside an
-    # int32 array (f32->i32 bitcast is safe; ints are never canonicalized in
-    # transit — the reverse direction would hit TPU NaN/denormal handling).
+    # ---- dispatch all chunks (device, async), then ONE stacked drain ----
+    chunks = []
+    dist_comps = nodes_visited = 0
+    n_chunks = (b + CHUNK_B - 1) // CHUNK_B if b > CHUNK_B else 1
+    for ci in range(n_chunks):
+        qc = qd[ci * CHUNK_B : (ci + 1) * CHUNK_B] if n_chunks > 1 else qd
+        reranked, dc, nv = _dispatch_chunk(plan, qc, opts, options)
+        dist_comps += dc
+        nodes_visited += nv
+        if coded:
+            packed, _ = _merge_device(reranked, fetch_k)
+            chunks.append(packed)
+        else:
+            chunks.append(reranked)
+    t_score = time.perf_counter()
+
+    out_ids = np.empty((b, k), np.int64)
+    out_d = np.empty((b, k), np.float32)
+    out_loc: List[List] = []
+    if coded:
+        if len(chunks) == 1:
+            packed_all = [np.asarray(chunks[0])]
+        else:
+            # All full chunks share a shape; only the tail can be smaller.
+            # Transfer the uniform prefix as ONE stacked D2H.
+            shape0 = chunks[0].shape
+            uniform = [c for c in chunks if c.shape == shape0]
+            stacked = np.asarray(jnp.stack(uniform)) if len(uniform) > 1 else None
+            packed_all = []
+            ui = 0
+            for c in chunks:
+                if c.shape == shape0 and stacked is not None:
+                    packed_all.append(stacked[ui])
+                    ui += 1
+                else:
+                    packed_all.append(np.asarray(c))
+        t_rerank = time.perf_counter()
+        for ci, ph in enumerate(packed_all):
+            ids_c, d_c, loc_c = _finish_chunk(ph, slot_seg_ids, snap, pk, opts)
+            s = ci * CHUNK_B if n_chunks > 1 else 0
+            out_ids[s : s + ids_c.shape[0]] = ids_c
+            out_d[s : s + ids_c.shape[0]] = d_c
+            out_loc.extend(loc_c)
+    else:
+        # Fallback (many sources / huge segment): wide packed transfer.
+        t_rerank = time.perf_counter()
+        for ci, reranked in enumerate(chunks):
+            ids_c, d_c, loc_c = _finish_wide(reranked, snap, pk, opts)
+            s = ci * CHUNK_B if n_chunks > 1 else 0
+            out_ids[s : s + ids_c.shape[0]] = ids_c
+            out_d[s : s + ids_c.shape[0]] = d_c
+            out_loc.extend(loc_c)
+
+    t_end = time.perf_counter()
+    if stats:
+        stats.planning_time_s = t_plan - t0
+        stats.scoring_time_s = t_score - t_plan
+        stats.rerank_time_s = t_rerank - t_score
+        stats.materialize_time_s = t_end - t_rerank
+        stats.total_time_s = t_end - t0
+        stats.segments_total = plan.segments_total
+        stats.segments_pruned = plan.n_pruned
+        stats.segments_brute_force = plan.n_brute
+        stats.segments_graph = plan.n_graph
+        stats.rows_considered = plan.rows_considered
+        stats.rows_filtered_out = plan.rows_filtered_out
+        stats.nodes_visited = nodes_visited
+        stats.distance_computations = dist_comps
+        if plan.filtered:
+            stats.selectivity = plan.rows_considered / max(plan.total_rows, 1)
+        stats.strategy = (
+            f"brute={plan.n_brute} graph={plan.n_graph} pruned={plan.n_pruned}"
+            + (" filtered" if plan.filtered else "")
+        )
+    return out_ids, out_d, out_loc, stats
+
+
+def _finish_wide(reranked, snap, pk, opts):
+    """Legacy wide merge: full per-source candidate width crosses to the host
+    in one packed transfer (used when the coded merge's row/slot limits do not
+    hold: > 64 sources or a segment with >= 2^25 rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    k = opts.k
     packed = jnp.stack(
         [
             jax.lax.bitcast_convert_type(
-                jnp.concatenate([d for _, d, _ in reranked], axis=1), jnp.int32
+                jnp.concatenate(
+                    [d.astype(jnp.float32) for _, d, _ in reranked], axis=1
+                ),
+                jnp.int32,
             ),
             jnp.concatenate(
                 [rows.astype(jnp.int32) for _, _, rows in reranked], axis=1
@@ -279,13 +567,18 @@ def search_snapshot(
     packed_host = np.asarray(packed)
     dist_host = packed_host[0].view(np.float32)
     rows_host = packed_host[1]
-    all_d = []
-    all_rows = []
-    all_seg = []
-    all_ids = []
-    all_lsns = []
-    mem_ids = np.asarray(snap.memtable.ids[: snap.mem_rows], np.int64) if snap.mem_rows else None
-    mem_lsns = np.asarray(snap.memtable.lsns[: snap.mem_rows], np.int64) if snap.mem_rows else None
+    b = dist_host.shape[0]
+    all_d, all_rows, all_seg, all_ids, all_lsns = [], [], [], [], []
+    mem_ids = (
+        np.asarray(snap.memtable.ids[: snap.mem_rows], np.int64)
+        if snap.mem_rows
+        else None
+    )
+    mem_lsns = (
+        np.asarray(snap.memtable.lsns[: snap.mem_rows], np.int64)
+        if snap.mem_rows
+        else None
+    )
     segmap = {h.seg_id: h.segment for h in snap.segments}
     col = 0
     for seg_id, d, rows in reranked:
@@ -315,8 +608,6 @@ def search_snapshot(
     LSNS = np.take_along_axis(np.concatenate(all_lsns, axis=1), order, axis=1)
 
     valid = np.isfinite(D) & (R >= 0)
-    # MVCC visibility fast path: ids with a single chain version are trivially
-    # visible; only multi-version ("dirty") ids need a chain lookup.
     dirty = pk.dirty_sorted()
     if len(dirty):
         from vecgo_tpu.engine.pk import DELETED
@@ -326,8 +617,6 @@ def search_snapshot(
             ent = pk.get_entry(int(IDS[bi, j]), snap.lsn)
             if ent is None or ent[1] == DELETED or ent[0] != int(LSNS[bi, j]):
                 valid[bi, j] = False
-        # Dedup within a row can only involve dirty ids (single-version ids
-        # exist in exactly one physical location).
         for bi in set(np.nonzero(flagged.any(axis=1))[0]):
             seen = set()
             for j in range(valid.shape[1]):
@@ -339,8 +628,6 @@ def search_snapshot(
                 else:
                     seen.add(cid)
 
-    # Stable-compact the first k valid entries per row (candidate width may be
-    # smaller than k on tiny corpora).
     sel = np.argsort(~valid, axis=1, kind="stable")[:, :k]
     kk = sel.shape[1]
     got = np.take_along_axis(valid, sel, axis=1)
@@ -350,38 +637,11 @@ def search_snapshot(
     out_d[:, :kk] = np.where(got, np.take_along_axis(D, sel, axis=1), np.inf)
     sel_seg = np.take_along_axis(S, sel, axis=1)
     sel_row = np.take_along_axis(R, sel, axis=1)
-    out_loc: List[List] = [
+    out_loc = [
         [(int(sel_seg[bi, j]), int(sel_row[bi, j])) for j in range(kk) if got[bi, j]]
         for bi in range(b)
     ]
-
-    t_end = time.perf_counter()
-    if stats:
-        stats.planning_time_s = t_plan - t0
-        stats.scoring_time_s = t_score - t_plan
-        stats.rerank_time_s = t_rerank - t_score
-        stats.materialize_time_s = t_end - t_rerank
-        stats.total_time_s = t_end - t0
-        stats.segments_pruned = n_pruned
-        stats.segments_brute_force = n_brute
-        stats.segments_graph = n_graph
-        # Brute scans score every considered row against every query; graph
-        # traversals contribute their expansion product; rerank adds the
-        # candidate tiles.
-        stats.nodes_visited = nodes_visited
-        rerank_width = sum(r[2].shape[1] for r in reranked)
-        stats.distance_computations = (
-            dist_comps + b * dist_comps_mem + b * rerank_width
-        )
-        if fs is not None:
-            sel_total = stats.rows_considered
-            all_total = snap.mem_rows + sum(h.segment.n for h in snap.segments)
-            stats.selectivity = sel_total / max(all_total, 1)
-        stats.strategy = (
-            f"brute={n_brute} graph={n_graph} pruned={n_pruned}"
-            + (" filtered" if fs is not None else "")
-        )
-    return out_ids, out_d, out_loc, stats
+    return out_ids, out_d, out_loc
 
 
 def _seg_by_id(snap, seg_id: int):

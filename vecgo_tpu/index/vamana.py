@@ -280,6 +280,8 @@ class VamanaWriter:
         compress: str = "",
         build_mode: str = "clustered",
         build_params: Optional[dict] = None,
+        serve_ivf: bool = True,
+        ivf_capacity: int = 512,
     ):
         """build_mode: "clustered" (default — cluster-local KNN + RobustPrune,
         index/build_fast.py, ~16x faster than beam at 1M) or "beam" (the
@@ -302,6 +304,8 @@ class VamanaWriter:
             1.5 if build_mode == "clustered" else DEFAULT_ALPHA
         )
         self.build_params = dict(build_params or {})
+        self.serve_ivf = serve_ivf
+        self.ivf_capacity = ivf_capacity
         self.quantizer_kind = quantizer
         self.qparams = dict(qparams or {})
         self.seed = seed
@@ -340,6 +344,24 @@ class VamanaWriter:
         sections["entry.centroids"] = centroids
         sections["entry.nodes"] = entry_nodes
 
+        # Serving shortlist structure: blocked IVF table (ops/ivf.py) — the
+        # sublinear first stage of the two-stage query path (IVF shortlist +
+        # graph refinement; the reference's nprobe knob, vecgo.go WithNProbes,
+        # becomes a real compute saving here instead of a scan mask).
+        ivf_meta = None
+        if self.serve_ivf and n >= 4096:
+            from vecgo_tpu.ops import ivf as ivf_ops
+
+            ivf_cent, ivf_members = ivf_ops.build_ivf_table(
+                x, capacity=self.ivf_capacity, seed=self.seed
+            )
+            sections["ivf.members"] = ivf_members
+            sections["ivf.centroids"] = ivf_cent
+            ivf_meta = {
+                "capacity": int(self.ivf_capacity),
+                "k": int(ivf_cent.shape[0]),
+            }
+
         quant = Q.create(self.quantizer_kind, dim=self.dim, **self.qparams)
         if self.quantizer_kind != "none" and n:
             quant.train(x if n <= 65536 else x[:: max(1, n // 65536)], seed=self.seed)
@@ -359,6 +381,7 @@ class VamanaWriter:
             "l_build": self.l_build,
             "alpha": self.alpha,
             "quantizer": {"kind": quant.kind, "params": quant.params()},
+            "ivf": ivf_meta,
             "metadata": md_meta,
             "stats": segment_stats(x, cm),
         }
@@ -388,6 +411,9 @@ class VamanaSegment:
         # IVF-guided entries (older segments without them fall back to medoid).
         self.entry_centroids: Optional[np.ndarray] = sections.get("entry.centroids")
         self.entry_nodes: Optional[np.ndarray] = sections.get("entry.nodes")
+        # Blocked IVF serving table (two-stage shortlist; ops/ivf.py).
+        self.ivf_members: Optional[np.ndarray] = sections.get("ivf.members")
+        self.ivf_centroids: Optional[np.ndarray] = sections.get("ivf.centroids")
         self.cm = ColumnarMeta.from_sections(meta["metadata"], sections)
         self._payload_data = sections.get("payload.data")
         self._payload_indptr = sections.get("payload.indptr")
@@ -423,6 +449,13 @@ class VamanaSegment:
             if self.entry_centroids is not None and len(self.entry_centroids):
                 self._dev["entry_centroids"] = jnp.asarray(self.entry_centroids)
                 self._dev["entry_nodes"] = jnp.asarray(self.entry_nodes)
+            if self.ivf_members is not None:
+                from vecgo_tpu.ops import ivf as ivf_ops
+
+                self._dev["ivf"] = ivf_ops.device_table(
+                    self.ivf_members, self.ivf_centroids,
+                    self._dev["trav"], self._dev["rnorm2"],
+                )
         return self._dev
 
     def release_device(self):
@@ -434,6 +467,9 @@ class VamanaSegment:
         total = n * d * 2 + n * 4 + self.graph.nbytes + n * d * 4
         if self.entry_centroids is not None:
             total += self.entry_centroids.nbytes + self.entry_nodes.nbytes
+        if self.ivf_members is not None:
+            k, s = self.ivf_members.shape
+            total += k * s * (d * 2 + 4 + 4) + k * (d * 4 + 4)
         return int(total)
 
     def rerank_host(self, q, rows):
@@ -450,15 +486,25 @@ class VamanaSegment:
         mask: Optional[np.ndarray] = None,
         ef: int = 0,
         beam_width: int = 4,
+        n_probe: int = 0,  # 0 = auto; IVF shortlist width (two-stage path)
+        refine_steps: int = 1,  # graph expansion rounds after the shortlist
     ):
-        """Returns (dists [B,k], rows [B,k]) — beam search + exact rerank.
+        """Returns (dists [B,k], rows [B,k]).
 
-        Note: beam search returns bf16-precision distances; callers should
-        rerank (Segment.rerank) for exact scores. For DOT/COSINE the graph was
-        built on L2 geometry over (normalized) vectors — standard practice; for
+        Two-stage when the segment carries an IVF serving table (the default
+        for segments built by VamanaWriter): blocked IVF shortlist
+        (ops/ivf.ivf_scan — sublinear, zero gathers) seeds a short lockstep
+        graph refinement (ops/beam.beam_search with per-query entries), which
+        repairs cluster-boundary misses. Legacy segments without the table
+        run the full beam search from IVF-guided entry nodes.
+
+        Note: search returns bf16-precision distances; callers should rerank
+        (Segment.rerank) for exact scores. For DOT/COSINE the graph was built
+        on L2 geometry over (normalized) vectors — standard practice; for
         normalized vectors L2 and cosine orders agree. DOT queries search with
         L2 traversal then rerank by the true metric over a widened pool.
         """
+        import jax
         import jax.numpy as jnp
 
         from vecgo_tpu.ops import beam as beam_ops
@@ -473,6 +519,55 @@ class VamanaSegment:
         ef = max(ef, k)
         dev = self.device_state()
         dmask = jnp.asarray(mask) if mask is not None else None
+
+        if "ivf" in dev:
+            from vecgo_tpu.ops import ivf as ivf_ops
+
+            table = dev["ivf"]
+            kt = table.bnorm2.shape[0]
+            if n_probe <= 0:
+                # Auto: enough probes that the shortlist pool comfortably
+                # covers ef; floor 8, cap 32 (probe cost is linear).
+                n_probe = int(min(kt, max(8, min(32, (ef + 15) // 16 * 4))))
+            kk = min(16, table.bnorm2.shape[1])
+            mflat = (
+                ivf_ops.slot_mask_from_rows(table, dmask)
+                if dmask is not None
+                else None
+            )
+            sd, srows = ivf_ops.ivf_scan(
+                q, table, n_probe=n_probe, kk=kk, mask_flat=mflat
+            )
+            cd, crows = beam_ops._dedup_topk(sd, srows, ef)
+            if refine_steps > 0:
+                # Graph refinement widens the pool at ef width (the k-cut
+                # happens only AFTER the exact rerank below: beam re-scores
+                # are plain bf16 and would otherwise rank true NN out of a
+                # narrow k window).
+                _, pool_rows = beam_ops.beam_search(
+                    q,
+                    dev["trav"],
+                    dev["rnorm2"],
+                    dev["graph"],
+                    jnp.where(jnp.isfinite(cd), crows, -1),
+                    ef=ef,
+                    k=ef,
+                    beam_width=beam_width,
+                    max_steps=refine_steps,
+                    mask=dmask,
+                )
+            else:
+                pool_rows = jnp.where(jnp.isfinite(cd), crows, -1)
+            # Exact rerank of the ef-wide pool, then cut to k. (The engine's
+            # own rerank over the returned rows is then a no-op by value.)
+            rd = self.rerank(q, pool_rows)
+            sd2, si2 = jax.lax.sort(
+                (rd, pool_rows.astype(jnp.int32)), num_keys=1
+            )
+            res_d = sd2[:, :k]
+            res_i = jnp.where(jnp.isfinite(res_d), si2[:, :k], -1)
+            return res_d, res_i
+
         entry = dev["entry"]
         max_steps = 0
         if "entry_centroids" in dev:

@@ -72,10 +72,6 @@ def _extract_by_rank(values, rank_mask_rank, w, fill):
     return jnp.where(any_, picked, fill), any_
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("ef", "beam_width", "max_steps", "k", "with_visited"),
-)
 def beam_search(
     q,  # [B, d] float
     vectors,  # [N, d] (bf16 traversal copy)
@@ -91,16 +87,71 @@ def beam_search(
     with_visited: bool = False,
 ):
     """Batched greedy/beam search. Returns (res_d [B,k], res_i [B,k]) plus,
-    when with_visited, the final search list (cand_d [B,ef], cand_i [B,ef])."""
-    b, d = q.shape
-    r = graph.shape[1]
-    w = beam_width
-    m = w * r
+    when with_visited, the final search list (cand_d [B,ef], cand_i [B,ef]).
+
+    Jit policy: each static config (incl. masked-ness) gets its OWN jit
+    object (`_beam_jit`) — jax-0.9.0 occasionally collides cache entries
+    when one jitted function alternates None<->array optional args
+    ("Execution supplied 5 buffers but compiled program expected 6");
+    per-variant jits make that structurally impossible (utils/devbug.py).
+    """
     if max_steps == 0:
         # Enough steps to (a) expand every list slot once (ef/W) and (b) walk
         # from the entry point to a query's neighborhood (~graph diameter,
         # which grows with log N). Capping here (instead of ef steps) matters:
         # one straggler query otherwise keeps the whole batch iterating.
+        import math
+
+        n = vectors.shape[0]
+        max_steps = ef // max(beam_width, 1) + 8 + int(
+            math.ceil(math.log2(max(n, 2)))
+        )
+    from vecgo_tpu.utils.devbug import dispatch_guarded
+
+    fn = _beam_jit(ef, k, beam_width, max_steps, with_visited, mask is not None)
+    if mask is not None:
+        return dispatch_guarded(fn, q, vectors, rnorm2, graph, entry_ids, mask)
+    return dispatch_guarded(fn, q, vectors, rnorm2, graph, entry_ids)
+
+
+@functools.lru_cache(maxsize=None)
+def _beam_jit(ef, k, beam_width, max_steps, with_visited, masked):
+    def unmasked(q, v, rn, g, e):
+        return beam_search_traced(
+            q, v, rn, g, e, ef=ef, k=k, beam_width=beam_width,
+            max_steps=max_steps, with_visited=with_visited,
+        )
+
+    def masked_fn(q, v, rn, g, e, m):
+        return beam_search_traced(
+            q, v, rn, g, e, mask=m, ef=ef, k=k, beam_width=beam_width,
+            max_steps=max_steps, with_visited=with_visited,
+        )
+
+    return jax.jit(masked_fn if masked else unmasked)
+
+
+def beam_search_traced(
+    q,
+    vectors,
+    rnorm2,
+    graph,
+    entry_ids,
+    *,
+    ef: int,
+    k: int,
+    beam_width: int = 8,
+    max_steps: int = 0,
+    mask=None,
+    with_visited: bool = False,
+):
+    """Un-jitted beam search body — call this from INSIDE other jitted
+    programs (nesting jits feeds the cache-collision bug above)."""
+    b, d = q.shape
+    r = graph.shape[1]
+    w = beam_width
+    m = w * r
+    if max_steps == 0:
         import math
 
         n = vectors.shape[0]
@@ -228,8 +279,61 @@ def _dedup_topk(d, i, k: int):
     return sd[:, :k], si[:, :k]
 
 
-@functools.partial(jax.jit, static_argnames=("r_out", "alpha", "lazy_occlusion"))
 def robust_prune(
+    p_ids,
+    p_vecs,
+    cand_ids,
+    vectors,
+    rnorm2,
+    *,
+    r_out: int,
+    alpha: float,
+    vectors_occ=None,
+    rnorm2_occ=None,
+    lazy_occlusion=None,
+):
+    """Jitted entry point for direct callers; per-variant jit objects (see
+    beam_search). Inside an already-jitted program call robust_prune_traced."""
+    lazy = _resolve_lazy(
+        lazy_occlusion, cand_ids.shape[1], r_out,
+        (vectors_occ if vectors_occ is not None else vectors).shape[-1],
+    )
+    from vecgo_tpu.utils.devbug import dispatch_guarded
+
+    fn = _prune_jit(r_out, float(alpha), lazy, vectors_occ is not None)
+    if vectors_occ is not None:
+        return dispatch_guarded(
+            fn, p_ids, p_vecs, cand_ids, vectors, rnorm2, vectors_occ, rnorm2_occ
+        )
+    return dispatch_guarded(fn, p_ids, p_vecs, cand_ids, vectors, rnorm2)
+
+
+@functools.lru_cache(maxsize=None)
+def _prune_jit(r_out, alpha, lazy, has_occ):
+    kw = dict(r_out=r_out, alpha=alpha, lazy_occlusion=lazy)
+    if has_occ:
+        return jax.jit(
+            lambda pi, pv, c, v, rn, vo, rno: robust_prune_traced(
+                pi, pv, c, v, rn, vectors_occ=vo, rnorm2_occ=rno, **kw
+            )
+        )
+    return jax.jit(
+        lambda pi, pv, c, v, rn: robust_prune_traced(pi, pv, c, v, rn, **kw)
+    )
+
+
+def _resolve_lazy(lazy_occlusion, l: int, r_out: int, occ_d: int) -> bool:
+    if lazy_occlusion is not None:
+        return bool(lazy_occlusion)
+    # The upfront gram costs O(L^2 d_occ) in well-shaped batched matmuls;
+    # lazy costs O(R L d_occ) in skinny per-pick matvecs that reach a
+    # fraction of MXU peak (measured ~5-10x less). Prefer the gram unless
+    # the candidate list is very wide relative to the output degree or the
+    # occlusion runs full-dimension.
+    return l > 64 if occ_d > 48 else l > 4 * r_out
+
+
+def robust_prune_traced(
     p_ids,  # [C] int32 node being pruned (excluded from its own candidates)
     p_vecs,  # [C, d]
     cand_ids,  # [C, L] int32, -1 padded
@@ -261,14 +365,10 @@ def robust_prune(
     Returns [C, r_out] int32 neighbor ids (-1 padded).
     """
     c, l = cand_ids.shape
-    if lazy_occlusion is None:
-        # The upfront gram costs O(L^2 d_occ) in well-shaped batched matmuls;
-        # lazy costs O(R L d_occ) in skinny per-pick matvecs that reach a
-        # fraction of MXU peak (measured ~5-10x less). Prefer the gram unless
-        # the candidate list is very wide relative to the output degree or the
-        # occlusion runs full-dimension.
-        occ_d = (vectors_occ if vectors_occ is not None else vectors).shape[-1]
-        lazy_occlusion = l > 64 if occ_d > 48 else l > 4 * r_out
+    lazy_occlusion = _resolve_lazy(
+        lazy_occlusion, l, r_out,
+        (vectors_occ if vectors_occ is not None else vectors).shape[-1],
+    )
     pf = p_vecs.astype(jnp.float32)
     p16 = p_vecs.astype(jnp.bfloat16)
     pn = jnp.sum(pf * pf, axis=-1, keepdims=True)

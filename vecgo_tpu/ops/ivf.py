@@ -1,0 +1,435 @@
+"""Blocked IVF scan: sublinear query scoring with query-grouped cluster visits.
+
+The reference's DiskANN segment walks a graph per query (diskann/segment.go:503)
+and its flat segment masks IVF partitions inside a full scan
+(flat/segment.go:447, writer.go:101-147 trains the partitions). Neither shape
+fits the MXU: per-query pointer chasing is latency-bound gathers, and the
+masked full scan does all N rows of FLOPs regardless of nprobe.
+
+This module is the TPU-native sublinear path. Layout: rows are bucketed into K
+capacity-capped clusters and materialized as a padded dense tensor
+`blocks [K, S, d]` (bf16) living in HBM. A query batch then:
+
+  1. scores centroids [B, K] with one matmul and takes its `n_probe` clusters,
+  2. INVERTS the probe lists — for each cluster, which queries probe it —
+     with one device sort (run-position arithmetic, no host sync),
+  3. scans cluster groups: each group loads `[g, S, d]` contiguous rows
+     (a lax.scan slice — streaming HBM reads, zero gathers) and scores them
+     against the [g, qcap, d] queries probing those clusters in one batched
+     matmul, keeping per-(query, cluster) top-kk,
+  4. scatters the per-cluster winners back to per-query candidate tables.
+
+Total FLOPs ≈ K·qcap·S·d ≈ B·n_probe·S·d·(padding slack) — independent of N
+for fixed probe budget. The candidates then feed graph refinement
+(ops/beam.beam_search with per-query entries) and exact rerank.
+
+Capacity caps: each cluster holds at most S rows (overflow spills to the
+point's next-nearest cluster; guaranteed coverage via a host fix-up), and each
+cluster serves at most `qcap` queries per batch (excess probes drop — bounded
+recall loss under extreme query skew, controlled by qcap).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG = jnp.float32(3.0e38)
+
+
+class IVFDeviceTable(NamedTuple):
+    """Device-resident blocked layout (see module docstring).
+
+    Blocks hold cluster-centered RESIDUALS (x - centroid) in bf16: the scan
+    scores d(q,x) = |q-c|² + |x-c|² - 2(q-c)·(x-c), an exact identity whose
+    bf16 rounding scales with the small residual magnitudes instead of the
+    raw vector norms — near-f32 ranking inside tight clusters at bf16
+    bandwidth (the IVF analogue of ScaNN's residual quantization)."""
+
+    blocks: jax.Array  # [K, S, d] bf16 residuals (x - centroid), padding zero
+    bnorm2: jax.Array  # [K, S] f32 |x - c|², +inf at padded slots
+    rows: jax.Array  # [K, S] int32 segment row per slot, -1 padded
+    centroids: jax.Array  # [K, d] f32 (cluster centers used for residuals)
+    cnorm2: jax.Array  # [K] f32, +inf for empty/padded clusters
+
+
+# ---------------------------------------------------------------------------
+# Build
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_probe", "block"))
+def _assign_topk_full(x16, rnorm2, centroids, n_probe: int, block: int):
+    """Per-row `n_probe` nearest centroids, full dimension. x16 [N_pad, d]
+    bf16 (padded rows carry +inf rnorm2); returns (assign [N_pad, P] i32,
+    dist [N_pad, P] f32)."""
+    n_pad = x16.shape[0]
+    c16 = centroids.astype(jnp.bfloat16)
+    cn = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=1)
+    xb = x16.reshape(n_pad // block, block, x16.shape[1])
+    nb = rnorm2.reshape(n_pad // block, block)
+
+    def body(_, inputs):
+        blk, bn = inputs
+        prod = jax.lax.dot_general(
+            blk, c16, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dmat = bn[:, None] + cn[None, :] - 2.0 * prod
+        nd, idx = jax.lax.top_k(-dmat, n_probe)
+        return None, (idx.astype(jnp.int32), -nd)
+
+    _, (a, dd) = jax.lax.scan(body, None, (xb, nb))
+    return a.reshape(n_pad, n_probe), dd.reshape(n_pad, n_probe)
+
+
+def build_ivf_table(
+    x: np.ndarray,
+    *,
+    capacity: int = 512,
+    slack: float = 1.3,
+    overlap: int = 4,
+    seed: int = 42,
+    kmeans_iters: int = 5,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Train centroids and bucket rows into capacity-capped clusters.
+
+    Returns (centroids [K, d] f32, members [K, capacity] int32, -1 padded).
+    Every row is guaranteed at least one slot (host fix-up for overflow).
+    Persisted by VamanaWriter as the serving shortlist structure.
+    """
+    from vecgo_tpu.index import build_fast as bf
+    from vecgo_tpu.quantization import kmeans as km
+
+    n, d = x.shape
+    x = np.ascontiguousarray(x, np.float32)
+    k = max(2, math.ceil(n * slack / capacity))
+    rng = np.random.default_rng(seed)
+
+    n_sample = min(n, max(32768, 12 * k))
+    idx = rng.choice(n, n_sample, replace=False)
+    centroids, _ = km.train_kmeans(
+        x[idx], k, iters=kmeans_iters, seed=seed, sample=n_sample
+    )
+
+    # Device assignment: pad rows to a block multiple with +inf norms.
+    block = 8192
+    n_pad = ((n + block - 1) // block) * block
+    import ml_dtypes
+
+    xb = x.astype(ml_dtypes.bfloat16)
+    if n_pad > n:
+        xb = np.concatenate([xb, np.zeros((n_pad - n, d), ml_dtypes.bfloat16)])
+    rn = np.full(n_pad, np.inf, np.float32)
+    rn[:n] = np.einsum("nd,nd->n", x, x, dtype=np.float64).astype(np.float32)
+    ov = max(1, min(overlap, 4))
+    a_dev, d_dev = _assign_topk_full(
+        jnp.asarray(xb), jnp.asarray(rn), jnp.asarray(centroids), ov, block
+    )
+    # Route padded rows to a dump cluster, then capacity-capped membership.
+    row_valid = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0) < n
+    a_dev = jnp.where(row_valid, a_dev, k)
+    members, _, _, covered = bf._membership_dev(a_dev, d_dev, k + 1, capacity)
+    members = np.array(members[:k])  # writable copy (host fix-up below)
+    covered = np.asarray(covered[:n])
+    if not covered.all():
+        _fixup_coverage(members, covered, np.asarray(a_dev[:n]))
+    return np.asarray(centroids, np.float32), members
+
+
+def _fixup_coverage(members: np.ndarray, covered: np.ndarray, assign: np.ndarray):
+    """Place every uncovered point in a slot, preferring its own clusters.
+
+    Capacity pressure can drop even primary memberships (a k-means cluster
+    with more primaries than `capacity`). Free slots come from (a) unused
+    padding and (b) EVICTING redundant overlap memberships — entries whose
+    point is covered elsewhere — so coverage is guaranteed whenever
+    total slots >= n (ensured by `slack` > 1). Mutates `members` in place.
+    """
+    n = len(covered)
+    rows_idx, cols_idx = np.nonzero(members >= 0)
+    pts = members[rows_idx, cols_idx]
+    # Evictable = all-but-one slot of every multiply-covered point.
+    order = np.argsort(pts, kind="stable")
+    pe = pts[order]
+    first = np.concatenate([[True], pe[1:] != pe[:-1]]) if len(pe) else np.zeros(0, bool)
+    ev_ok = np.ones(len(pts), bool)
+    ev_ok[order[first]] = False
+    ev_sel = np.nonzero(ev_ok)[0]
+    sp_rows, sp_cols = np.nonzero(members == -1)
+    # Spares first in pool order so eviction is the last resort per cluster.
+    pool_rows = np.concatenate([sp_rows, rows_idx[ev_sel]])
+    pool_cols = np.concatenate([sp_cols, cols_idx[ev_sel]])
+    porder = np.argsort(pool_rows, kind="stable")
+    pr = pool_rows[porder]
+    k = members.shape[0]
+    starts = np.searchsorted(pr, np.arange(k))
+    ends = np.searchsorted(pr, np.arange(k) + 1)
+    cursor = starts.copy()
+    used = np.zeros(len(pool_rows), bool)
+    leftovers = np.flatnonzero(~covered)
+    spill = []
+    for p in leftovers:
+        placed = False
+        for c in assign[p]:
+            c = int(c)
+            if c >= k:
+                continue
+            if cursor[c] < ends[c]:
+                i = porder[cursor[c]]
+                cursor[c] += 1
+                members[pool_rows[i], pool_cols[i]] = p
+                used[i] = True
+                placed = True
+                break
+        if not placed:
+            spill.append(p)
+    if spill:
+        free = np.nonzero(~used)[0]
+        take = min(len(spill), len(free))
+        members[pool_rows[free[:take]], pool_cols[free[:take]]] = np.asarray(
+            spill[:take], members.dtype
+        )
+        if take < len(spill):
+            logger = __import__("logging").getLogger("vecgo_tpu")
+            logger.warning("ivf table: %d rows uncovered", len(spill) - take)
+
+
+def device_table(
+    members: np.ndarray,
+    centroids: np.ndarray,
+    vectors_dev: jax.Array,  # [N, d] any float dtype (bf16 traversal copy ok)
+    rnorm2_dev: jax.Array,  # [N] f32
+    group: int = 8,
+) -> IVFDeviceTable:
+    """Materialize the padded blocked layout on device.
+
+    K is padded to a `group` multiple with empty clusters (+inf centroid norm
+    so probing never selects them).
+    """
+    k, s = members.shape
+    k_pad = ((k + group - 1) // group) * group
+    m = np.full((k_pad, s), -1, np.int32)
+    m[:k] = members
+    mdev = jnp.asarray(m)
+    safe = jnp.maximum(mdev, 0)
+    c = np.zeros((k_pad, centroids.shape[1]), np.float32)
+    c[:k] = centroids
+    cdev = jnp.asarray(c)
+    gathered = jnp.take(vectors_dev, safe.reshape(-1), axis=0).reshape(
+        k_pad, s, vectors_dev.shape[1]
+    ).astype(jnp.float32)
+    res = jnp.where(
+        (mdev >= 0)[:, :, None], gathered - cdev[:, None, :], 0.0
+    )
+    bnorm2 = jnp.where(mdev >= 0, jnp.sum(res * res, axis=-1), jnp.inf)
+    cn = np.full(k_pad, np.inf, np.float32)
+    cn[:k] = np.einsum("kd,kd->k", centroids, centroids, dtype=np.float64)
+    return IVFDeviceTable(
+        blocks=res.astype(jnp.bfloat16),
+        bnorm2=bnorm2,
+        rows=mdev,
+        centroids=cdev,
+        cnorm2=jnp.asarray(cn),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Search
+# ---------------------------------------------------------------------------
+
+
+def _invert_probes(probes, k_pad: int, qcap: int):
+    """probes [B, P] int32 cluster ids -> (qtab [k_pad, qcap] query index or
+    B as dump, qslot [k_pad, qcap] probe slot). One sort + run arithmetic —
+    the same trick as build_fast._membership_dev, without distances (probe
+    rank is the priority: earlier probes survive qcap pressure first)."""
+    b, p = probes.shape
+    m = b * p
+    cl = probes.reshape(-1)
+    qid = jax.lax.broadcasted_iota(jnp.int32, (b, p), 0).reshape(-1)
+    sl = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1).reshape(-1)
+    cl_s, sl_s, qid_s = jax.lax.sort((cl, sl, qid), num_keys=2)
+    pos_all = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+    boundary = jnp.concatenate([jnp.ones((1,), bool), cl_s[1:] != cl_s[:-1]])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(boundary, pos_all, 0)
+    )
+    pos = pos_all - run_start
+    keep = pos < qcap
+    row = jnp.where(keep, cl_s, k_pad)  # dump row for qcap overflow
+    col = jnp.minimum(pos, qcap - 1)
+    qtab = (
+        jnp.full((k_pad + 1, qcap), b, jnp.int32)
+        .at[row, col].set(qid_s, mode="drop")[:k_pad]
+    )
+    qslot = (
+        jnp.zeros((k_pad + 1, qcap), jnp.int32)
+        .at[row, col].set(sl_s, mode="drop")[:k_pad]
+    )
+    return qtab, qslot
+
+
+def ivf_scan(q, table, *, n_probe, kk, qcap=0, group=8, mask_flat=None):
+    """Guarded jitted entry (see _ivf_scan; containment in utils/devbug.py)."""
+    from vecgo_tpu.utils.devbug import dispatch_guarded
+
+    b = q.shape[0]
+    k_pad = table.bnorm2.shape[0]
+    n_probe = min(n_probe, k_pad)
+    if qcap == 0:
+        # 8x the average probes-per-cluster: probe skew concentrates clustered
+        # query batches onto few clusters; drops cost recall directly.
+        qcap = max(32, ((8 * b * n_probe // max(k_pad, 1)) + 31) // 32 * 32)
+    qcap = min(qcap, b)
+    if mask_flat is not None:
+        return dispatch_guarded(
+            functools.partial(
+                _ivf_scan, n_probe=n_probe, kk=kk, qcap=qcap, group=group
+            ),
+            q, table, mask_flat,
+        )
+    return dispatch_guarded(
+        functools.partial(
+            _ivf_scan_nomask, n_probe=n_probe, kk=kk, qcap=qcap, group=group
+        ),
+        q, table,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_probe", "kk", "qcap", "group")
+)
+def _ivf_scan_nomask(q, table, *, n_probe, kk, qcap, group):
+    return _ivf_scan_body(q, table, None, n_probe, kk, qcap, group)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_probe", "kk", "qcap", "group")
+)
+def _ivf_scan(q, table, mask_flat, *, n_probe, kk, qcap, group):
+    return _ivf_scan_body(q, table, mask_flat, n_probe, kk, qcap, group)
+
+
+def _ivf_scan_body(
+    q,  # [B, d] float32 (normalized upstream for cosine)
+    table: IVFDeviceTable,
+    mask_flat,  # [K*S] bool or None (tombstones/filters in slot space)
+    n_probe: int,
+    kk: int,
+    qcap: int,
+    group: int,
+):
+    """Blocked IVF scan. Returns (dists [B, n_probe*kk] f32, rows
+    [B, n_probe*kk] int32 segment rows, -1 invalid). Residual-exact
+    distances (see IVFDeviceTable); callers rerank exact anyway."""
+    b, d = q.shape
+    k_pad, s = table.bnorm2.shape
+
+    qf = q.astype(jnp.float32)
+    q16 = q.astype(jnp.bfloat16)
+    qn = jnp.sum(qf * qf, axis=-1)  # [B]
+
+    # 1. probe selection
+    cd = (
+        qn[:, None]
+        + table.cnorm2[None, :]
+        - 2.0
+        * jax.lax.dot_general(
+            q16, table.centroids.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    )
+    _, probes = jax.lax.top_k(-cd, n_probe)  # [B, P]
+
+    # 2. invert to per-cluster query lists
+    qtab, qslot = _invert_probes(probes, k_pad, qcap)
+
+    # 3. grouped scan over clusters (residual scoring — see IVFDeviceTable)
+    ngroups = k_pad // group
+    blocks_g = table.blocks.reshape(ngroups, group, s, d)
+    bn_g = table.bnorm2.reshape(ngroups, group, s)
+    cent_g = table.centroids.reshape(ngroups, group, d)
+    qtab_g = qtab.reshape(ngroups, group, qcap)
+    qslot_g = qslot.reshape(ngroups, group, qcap)
+    mask_g = (
+        None
+        if mask_flat is None
+        else mask_flat.reshape(ngroups, group, s)
+    )
+    # Query rows padded with a sentinel row (dump): index B maps to a zero row.
+    q_ext = jnp.concatenate([qf, jnp.zeros((1, d), jnp.float32)])
+
+    out_d0 = jnp.full((b + 1, n_probe, kk), jnp.inf, jnp.float32)
+    out_r0 = jnp.full((b + 1, n_probe, kk), -1, jnp.int32)
+
+    def body(carry, inputs):
+        out_d, out_r = carry
+        if mask_g is None:
+            gi, xblk, bn, cent, qt, qs = inputs
+            mblk = None
+        else:
+            gi, xblk, bn, cent, qt, qs, mblk = inputs
+        qv = jnp.take(q_ext, qt.reshape(-1), axis=0).reshape(group, qcap, d)
+        qr = qv - cent[:, None, :]  # f32 residual per (cluster, query)
+        qrn = jnp.sum(qr * qr, axis=-1)  # [g, qcap]
+        prod = jnp.einsum(
+            "gqd,gsd->gqs", qr.astype(jnp.bfloat16), xblk,
+            preferred_element_type=jnp.float32,
+        )
+        dd = qrn[:, :, None] + bn[:, None, :] - 2.0 * prod  # [g, qcap, S]
+        if mblk is not None:
+            dd = jnp.where(mblk[:, None, :], dd, jnp.inf)
+        ld, lc = jax.lax.top_k(-dd, kk)  # [g, qcap, kk]
+        ld = -ld
+        # flat slot index -> (cluster*S + col)
+        base = (gi * group + jax.lax.broadcasted_iota(
+            jnp.int32, (group, 1, 1), 0
+        )) * s
+        lrow = base + lc
+        lrow = jnp.where(jnp.isfinite(ld), lrow, -1)
+        out_d = out_d.at[qt, qs].set(ld, mode="drop")
+        out_r = out_r.at[qt, qs].set(lrow, mode="drop")
+        return (out_d, out_r), None
+
+    xs = (
+        (jnp.arange(ngroups, dtype=jnp.int32), blocks_g, bn_g, cent_g,
+         qtab_g, qslot_g)
+        if mask_g is None
+        else (
+            jnp.arange(ngroups, dtype=jnp.int32), blocks_g, bn_g, cent_g,
+            qtab_g, qslot_g, mask_g,
+        )
+    )
+    (out_d, out_r), _ = jax.lax.scan(body, (out_d0, out_r0), xs)
+    out_d = out_d[:b].reshape(b, n_probe * kk)
+    out_r = out_r[:b].reshape(b, n_probe * kk)
+    # Map flat slot ids -> segment rows (dedup happens downstream; overlap
+    # memberships can surface the same segment row from two clusters).
+    seg_rows = jnp.where(
+        out_r >= 0, jnp.take(table.rows.reshape(-1), jnp.maximum(out_r, 0)), -1
+    )
+    out_d = jnp.where(seg_rows >= 0, out_d, jnp.inf)
+    return out_d, seg_rows
+
+
+def slot_mask_from_rows(table: IVFDeviceTable, row_mask) -> jax.Array:
+    """Lift a [N] row mask into the [K*S] slot space (padding -> False)."""
+    rows = table.rows.reshape(-1)
+    ok = jnp.take(row_mask, jnp.maximum(rows, 0)) & (rows >= 0)
+    return ok.reshape(table.rows.shape)
+
+
+__all__ = [
+    "IVFDeviceTable",
+    "build_ivf_table",
+    "device_table",
+    "ivf_scan",
+    "slot_mask_from_rows",
+]

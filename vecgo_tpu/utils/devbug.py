@@ -33,6 +33,33 @@ def _errors():
     return _ERRORS
 
 
+def dispatch_guarded(fn, *args):
+    """Dispatch a jitted call with containment for the re-execution bug.
+
+    Observed deterministic failure mode (XLA:CPU, this jax-0.9.0 + axon
+    plugin build): after a specific mix of large compiled programs has run
+    (a full graph build), RE-EXECUTING certain other executables fails at
+    dispatch with INVALID_ARGUMENT ("Execution supplied 5 buffers but
+    compiled program expected 6 buffers") — the freshly recompiled program
+    always runs once correctly. Bisect notes: each build stage alone does
+    NOT poison; only the full build sequence does; the persistent compile
+    cache, remote-compile mode, and jit wrapper structure were all ruled
+    out. Real TPU runs (bench) have not shown the trip on the serving path.
+
+    Containment: clear the jit caches and retry once (recompile; the
+    persistent compile cache keeps this cheap)."""
+    import jax
+
+    try:
+        return fn(*args)
+    except _errors() as e:
+        if "INVALID_ARGUMENT" not in str(e):
+            raise
+        logger.warning("jit dispatch failed (%s); clearing caches + retrying", e)
+        jax.clear_caches()
+        return fn(*args)
+
+
 def call_compiled(fn, *args, **kwargs):
     """Invoke a jitted function, containing the executable-reuse bug."""
     import jax

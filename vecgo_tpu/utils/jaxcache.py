@@ -35,6 +35,17 @@ def _env_fingerprint() -> str:
                     break
     except OSError:
         pass
+    # Boot identity: /proc/cpuinfo flags are identical across similar VMs, but
+    # XLA:CPU AOT executables embed finer-grained machine/tuning features
+    # (+prefer-no-scatter etc.) — entries serialized on one host deserialize
+    # on another into programs with mismatched buffer signatures
+    # (INVALID_ARGUMENT "supplied 5 buffers but expected 6"). Scope the cache
+    # to one boot: still cross-process, never cross-machine.
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            parts.append(f.read().strip())
+    except OSError:
+        pass
     return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
 
 
