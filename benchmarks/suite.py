@@ -73,6 +73,19 @@ def run_config(kind, n, d, batch, k, selectivity, engine_opts):
     res = db.search_batch(q, k=k)
     dt = time.perf_counter() - t0  # warm run
     out["qps"] = round(batch / dt, 1)
+
+    # Pipelined bulk throughput (search_arrays: CHUNK_B-query device programs
+    # dispatched back-to-back, one stacked drain — the serving path; the
+    # reference's analogue is concurrent search, baseline.txt:55).
+    import jax.numpy as jnp
+
+    nq_bulk = max(4096, batch)
+    q_bulk = np.tile(q, (max(1, nq_bulk // batch), 1))[:nq_bulk]
+    qb_dev = jnp.asarray(q_bulk)  # device-resident queries (upload once)
+    db.search_arrays(qb_dev, k=k)  # warm/compile
+    t0 = time.perf_counter()
+    db.search_arrays(qb_dev, k=k)
+    out["pipelined_qps"] = round(nq_bulk / (time.perf_counter() - t0), 1)
     # recall vs host brute force on a query subsample
     sub = min(64, batch)
     _, ti = tu.brute_force_knn(q[:sub], x, k, "l2")
@@ -91,22 +104,31 @@ def run_config(kind, n, d, batch, k, selectivity, engine_opts):
     out["p95_us"] = round(float(lat[int(len(lat) * 0.95)]) * 1e6, 1)
     out["p99_us"] = round(float(lat[min(int(len(lat) * 0.99), len(lat) - 1)]) * 1e6, 1)
 
-    # filtered at the requested selectivity
+    # Filtered recall-vs-selectivity curve (reference holds recall@10 = 1.000
+    # from 1% to 50% selectivity, baseline.txt:34-37). Default curve
+    # 1% / 10% / 50%; `selectivity` adds a custom point if not on the curve.
     n_cats = len(set(cats.tolist()))
-    want_cats = max(1, int(n_cats * selectivity))
-    f = md.isin("cat", list(range(want_cats)))
-    db.search_batch(q, k=k, filter=f)  # warm
-    t0 = time.perf_counter()
-    res_f = db.search_batch(q, k=k, filter=f)
-    out["filtered_qps"] = round(batch / (time.perf_counter() - t0), 1)
-    eligible = np.flatnonzero(np.isin(cats, np.arange(want_cats)))
-    if len(eligible) >= k:
-        _, tif = tu.brute_force_knn(q[:sub], x[eligible], k, "l2")
-        gotf = np.asarray(
-            [[c.id for c in r] + [-1] * (k - len(r)) for r in res_f[:sub]]
-        )
-        wantf = np.asarray([[ids[eligible[j]] for j in row] for row in tif])
-        out["filtered_recall"] = round(tu.recall_at_k(gotf, wantf), 4)
+    curve = sorted({0.01, 0.10, 0.50, selectivity})
+    for sel in curve:
+        want_cats = max(1, int(n_cats * sel))
+        f = md.isin("cat", list(range(want_cats)))
+        db.search_batch(q, k=k, filter=f)  # warm
+        t0 = time.perf_counter()
+        res_f = db.search_batch(q, k=k, filter=f)
+        tag = f"@{int(sel*100)}pct"
+        out[f"filtered_qps{tag}"] = round(batch / (time.perf_counter() - t0), 1)
+        eligible = np.flatnonzero(np.isin(cats, np.arange(want_cats)))
+        if len(eligible) >= k:
+            _, tif = tu.brute_force_knn(q[:sub], x[eligible], k, "l2")
+            gotf = np.asarray(
+                [[c.id for c in r] + [-1] * (k - len(r)) for r in res_f[:sub]]
+            )
+            wantf = np.asarray([[ids[eligible[j]] for j in row] for row in tif])
+            out[f"filtered_recall{tag}"] = round(tu.recall_at_k(gotf, wantf), 4)
+    # Back-compat aliases for the primary selectivity point.
+    tag = f"@{int(selectivity*100)}pct"
+    out["filtered_qps"] = out.get(f"filtered_qps{tag}")
+    out["filtered_recall"] = out.get(f"filtered_recall{tag}")
     db.close()
     return out
 
@@ -139,11 +161,16 @@ def main():
         )
         rows.append(row)
         print(json.dumps(row), flush=True)
-    log(f"{'dist':<12} {'qps':>10} {'recall':>8} {'f_qps':>10} {'f_recall':>9}")
+    log(
+        f"{'dist':<12} {'qps':>9} {'pipe_qps':>9} {'recall':>7} "
+        f"{'f_rec@1':>8} {'f_rec@10':>9} {'f_rec@50':>9}"
+    )
     for r in rows:
         log(
-            f"{r['dist']:<12} {r['qps']:>10} {r['recall']:>8} "
-            f"{r.get('filtered_qps', '-'):>10} {r.get('filtered_recall', '-'):>9}"
+            f"{r['dist']:<12} {r['qps']:>9} {r.get('pipelined_qps', '-'):>9} "
+            f"{r['recall']:>7} {r.get('filtered_recall@1pct', '-'):>8} "
+            f"{r.get('filtered_recall@10pct', '-'):>9} "
+            f"{r.get('filtered_recall@50pct', '-'):>9}"
         )
 
 

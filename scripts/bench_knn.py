@@ -63,6 +63,8 @@ def knn_variant(x16, rnorm2, members, sel: str, knn: int, g: int):
             jax.lax.broadcasted_iota(jnp.int32, (1, cmax, cmax), 2)
         )
         dmat = jnp.where(valid[:, None, :] & ~eye, dmat, jnp.inf)
+        if sel == "matmul_only":
+            return acc + dmat.sum((1, 2)).astype(jnp.float32), None
         if sel == "topk":
             _, loc = jax.lax.top_k(-dmat, knn)
         elif sel == "bucket":
@@ -72,8 +74,6 @@ def knn_variant(x16, rnorm2, members, sel: str, knn: int, g: int):
             loc = loc_in * knn + jax.lax.broadcasted_iota(
                 jnp.int32, (g, cmax, knn), 2
             )  # NOTE: bucket stride layout
-        elif sel == "matmul_only":
-            return acc + dmat.sum((1, 2)), None
         else:  # sort
             _, loc = jax.lax.sort(
                 (dmat, jax.lax.broadcasted_iota(jnp.int32, dmat.shape, 2)),
@@ -81,9 +81,9 @@ def knn_variant(x16, rnorm2, members, sel: str, knn: int, g: int):
             )
             loc = loc[:, :, :knn]
         gcand = jnp.take_along_axis(mem[:, None, :], loc, axis=2)
-        return acc + gcand.sum((1, 2)), None
+        return acc + gcand.sum((1, 2)).astype(jnp.float32), None
 
-    acc0 = jnp.zeros((g,), jnp.int32)
+    acc0 = jnp.zeros((g,), jnp.float32)
     acc, _ = jax.lax.scan(body, acc0, mem_b)
     return acc
 

@@ -139,6 +139,15 @@ def run():
         "full prune gram L=56 occ16",
         lambda: bf._prune_all(cand56, x16, rn, xo16, rno16, R, 1.5, BLOCK),
     )
+    for blk in (32768, 65536):
+        timed(
+            f"full prune gram L=56 occ32 block={blk}",
+            lambda blk=blk: bf._prune_all(cand56, x16, rn, x_occ, rn_occ, R, 1.5, blk),
+        )
+    timed(
+        "full prune gram L=72 occ32 block=65536",
+        lambda: bf._prune_all(cand, x16, rn, x_occ, rn_occ, R, 1.5, 65536),
+    )
 
 
 if __name__ == "__main__":

@@ -520,3 +520,25 @@ def test_structured_logging(caplog):
         eng.commit()
     msgs = " ".join(r.message for r in caplog.records)
     assert "commit: version=" in msgs
+
+
+def test_explicit_id_bulk_ingest():
+    """Fresh sorted explicit ids ride the vectorized bulk path; updates and
+    unsorted ids fall back to the per-row MVCC path with identical semantics."""
+    eng = new_engine()
+    x = tu.gaussian_vectors(300, D, seed=71)
+    ids = eng.insert_batch(x[:200], ids=np.arange(1000, 1200))
+    assert ids == list(range(1000, 1200))
+    assert np.allclose(eng.get(1199).vector, x[199])
+    # overlapping ids = update semantics (fallback path)
+    eng.insert_batch(x[200:203], ids=[1000, 1001, 1002])
+    assert np.allclose(eng.get(1000).vector, x[200])
+    # unsorted explicit ids also fall back, still correct
+    eng.insert_batch(x[203:206], ids=[5000, 4000, 4500])
+    assert np.allclose(eng.get(4000).vector, x[204])
+    # auto-ids continue past the explicit range
+    nid = eng.insert_batch(x[206:208])
+    assert min(nid) > 5000
+    eng.commit()
+    res = eng.search(x[199], k=1)
+    assert res.candidates[0].id == 1199

@@ -62,7 +62,10 @@ def test_filtered_beam_search(built):
     eligible = np.flatnonzero(mask)
     _, ti = tu.brute_force_knn(q, x[eligible], K, "l2")
     rec = tu.recall_at_k(rows, eligible[ti])
-    assert rec >= 0.6, f"filtered recall {rec}"
+    # The two-stage path (masked IVF shortlist + masked refinement + exact
+    # rerank) holds exact filtered recall — the reference's filtered
+    # benchmarks are recall 1.000 at 1-50% selectivity (baseline.txt:34-37).
+    assert rec >= 0.95, f"filtered recall {rec}"
 
 
 def test_ef_improves_recall(built):

@@ -340,8 +340,26 @@ class Engine:
             )
         n = vectors.shape[0]
         schema = self.options.schema
+        explicit_bulk_ids = None
+        if (
+            ids is not None
+            and texts is None
+            and schema is None
+            and self._lexical is None
+            and n >= 2
+        ):
+            # Explicit ids ride the vectorized path when strictly increasing
+            # and fresh (never seen) — the common bulk-load shape. Updates or
+            # unsorted ids fall back to the per-row MVCC path.
+            cand_ids = np.asarray(ids, np.int64)
+            if (
+                len(cand_ids) == n
+                and (np.diff(cand_ids) > 0).all()
+                and not self.pk.contains_any_sorted(cand_ids)
+            ):
+                explicit_bulk_ids = cand_ids
         bulk = (
-            ids is None
+            (ids is None or explicit_bulk_ids is not None)
             and texts is None
             and schema is None
             and self._lexical is None
@@ -357,15 +375,24 @@ class Engine:
                 raise ErrInvalidVector("batch contains NaN/Inf")
             self._mem_controller.acquire(n * row_bytes)
             with self._lock:
-                id0 = self._next_id
-                self._next_id += n
+                if explicit_bulk_ids is not None:
+                    id0 = int(explicit_bulk_ids[0])
+                    self._next_id = max(
+                        self._next_id, int(explicit_bulk_ids[-1]) + 1
+                    )
+                    new_ids = explicit_bulk_ids
+                else:
+                    id0 = self._next_id
+                    self._next_id += n
+                    new_ids = np.arange(id0, id0 + n, dtype=np.int64)
                 lsn0 = self._lsn + 1
                 self._lsn += n
                 row0 = self.memtable.insert_block(
-                    vectors, id0, lsn0, metadatas, payloads
+                    vectors, id0, lsn0, metadatas, payloads,
+                    ids=new_ids,
                 )
                 self.pk.upsert_block(
-                    np.arange(id0, id0 + n, dtype=np.int64),
+                    new_ids,
                     MEMTABLE_SEG,
                     np.arange(row0, row0 + n, dtype=np.int64),
                     lsn0,
@@ -381,7 +408,7 @@ class Engine:
                 and len(self.memtable) >= self.options.flush_threshold
             ):
                 self.commit()
-            return list(range(id0, id0 + n))
+            return new_ids.tolist()
         out = []
         self._mem_controller.acquire(n * row_bytes)
         with self._lock:

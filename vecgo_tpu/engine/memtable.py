@@ -110,8 +110,9 @@ class MemTable:
         lsn0: int,
         metadatas=None,
         payloads=None,
+        ids: Optional[np.ndarray] = None,  # explicit ids (else id0 + arange)
     ) -> int:
-        """Bulk append with consecutive ids/LSNs; returns the first row index.
+        """Bulk append with consecutive LSNs; returns the first row index.
 
         The engine's deferred-style ingest path (reference:
         BatchInsertDeferred engine.go:1066) — one slab write, no per-row work.
@@ -125,7 +126,9 @@ class MemTable:
             row0 = self._n
             self._ensure(row0 + n)
             self._v[row0 : row0 + n] = vectors
-            self._ids[row0 : row0 + n] = np.arange(id0, id0 + n, dtype=np.int64)
+            self._ids[row0 : row0 + n] = (
+                ids if ids is not None else np.arange(id0, id0 + n, dtype=np.int64)
+            )
             self._lsns[row0 : row0 + n] = np.arange(lsn0, lsn0 + n, dtype=np.int64)
             if metadatas is None:
                 self.docs.extend([None] * n)

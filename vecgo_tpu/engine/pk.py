@@ -114,6 +114,25 @@ class PKIndex:
                 )
             )
 
+    def contains_any_sorted(self, ids: np.ndarray) -> bool:
+        """True if ANY of the (sorted ascending) ids is already known —
+        the freshness gate for the explicit-id bulk ingest path."""
+        with self._lock:
+            for blk in self._blocks:
+                pos = np.searchsorted(blk.ids, ids)
+                pos = np.minimum(pos, len(blk.ids) - 1)
+                if len(blk.ids) and (blk.ids[pos] == ids).any():
+                    return True
+            if self._chains:
+                keys = np.fromiter(
+                    self._chains.keys(), np.int64, len(self._chains)
+                )
+                lo = np.searchsorted(ids, keys)
+                lo = np.minimum(lo, len(ids) - 1)
+                if len(ids) and (ids[lo] == keys).any():
+                    return True
+        return False
+
     def delete(self, id: int, lsn: int) -> bool:
         """Record a delete; returns False if id has never existed."""
         with self._lock:

@@ -48,6 +48,9 @@ logger = logging.getLogger("vecgo_tpu")
 OCC_DIM = 32  # JL projection dim: partition space + RobustPrune occlusion
 
 _PROFILE = bool(__import__("os").environ.get("BUILD_PROFILE"))
+_HOST_RAND = bool(__import__("os").environ.get("BUILD_HOST_RAND"))
+_CANON_OPS = bool(__import__("os").environ.get("BUILD_CANON_OPS"))
+_SORT_MEMBERSHIP = bool(__import__("os").environ.get("BUILD_SORT_MEMBERSHIP"))
 
 
 def _tick(times, name, t0, *arrs):
@@ -195,11 +198,13 @@ def _descent_candidates(w_i, hop_a: int, hop_b: int, rev_cap: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rounds", "kw", "block", "hop_a", "hop_b", "rev_cap")
+    jax.jit,
+    static_argnames=("rounds", "kw", "block", "hop_a", "hop_b", "rev_cap", "salt"),
 )
 def _descend(
     cand, x16, rnorm2,
     rounds: int, kw: int, block: int, hop_a: int, hop_b: int, rev_cap: int,
+    salt: int = 0,
 ):
     """Initial merge + `rounds` NN-descent iterations as ONE device program.
 
@@ -220,10 +225,12 @@ def _descend(
 
     if rounds > 0:
         (w_d, w_i), _ = jax.lax.scan(round_fn, (w_d, w_i), None, length=rounds)
+    if salt:
+        return (w_d, w_i), jnp.zeros((salt,), jnp.int32)
     return w_d, w_i
 
 
-def _prune_blocks(cand_table, vectors, rnorm2, x_occ, rn_occ, r_out: int, alpha: float, block: int):
+def _prune_blocks(cand_table, vectors, rnorm2, x_occ, rn_occ, r_out: int, alpha: float, block: int, impl: str = "batched"):
     """RobustPrune every row of cand_table [N_pad, L] (N_pad % block == 0),
     scanning row blocks. Traced helper. Returns [N_pad, r_out]."""
     from vecgo_tpu.ops import beam as beam_ops
@@ -238,7 +245,7 @@ def _prune_blocks(cand_table, vectors, rnorm2, x_occ, rn_occ, r_out: int, alpha:
         out = beam_ops.robust_prune_traced(
             rows, vecs, cands, vectors, rnorm2,
             r_out=r_out, alpha=alpha,
-            vectors_occ=x_occ, rnorm2_occ=rn_occ,
+            vectors_occ=x_occ, rnorm2_occ=rn_occ, impl=impl,
         )
         return None, out
 
@@ -248,21 +255,37 @@ def _prune_blocks(cand_table, vectors, rnorm2, x_occ, rn_occ, r_out: int, alpha:
     return outs.reshape(n_pad, r_out)
 
 
-@functools.partial(jax.jit, static_argnames=("r_out", "alpha", "block"))
-def _prune_all(cand_table, vectors, rnorm2, x_occ, rn_occ, r_out: int, alpha: float, block: int):
-    return _prune_blocks(cand_table, vectors, rnorm2, x_occ, rn_occ, r_out, alpha, block)
+@functools.partial(
+    jax.jit, static_argnames=("r_out", "alpha", "block", "salt", "impl")
+)
+def _prune_all(
+    cand_table, vectors, rnorm2, x_occ, rn_occ,
+    r_out: int, alpha: float, block: int, salt: int = 0, impl: str = "batched",
+):
+    out = _prune_blocks(cand_table, vectors, rnorm2, x_occ, rn_occ, r_out, alpha, block, impl)
+    if salt:
+        # Salted retry (utils/devbug): the extra dummy output changes the
+        # executable signature so a poisoned runtime slot is bypassed.
+        return out, jnp.zeros((salt,), jnp.int32)
+    return out
 
 
-@functools.partial(jax.jit, static_argnames=("r_out", "alpha", "block", "rev_cap"))
+@functools.partial(
+    jax.jit, static_argnames=("r_out", "alpha", "block", "rev_cap", "salt", "impl")
+)
 def _prune_with_reverse(
     graph, vectors, rnorm2, x_occ, rn_occ,
-    r_out: int, alpha: float, block: int, rev_cap: int,
+    r_out: int, alpha: float, block: int, rev_cap: int, salt: int = 0,
+    impl: str = "batched",
 ):
     """Reverse-edge pass + re-prune (reference writer.go:627), fused: build
     sampled in-edges on device, concat with the forward graph, re-prune."""
     rev = _reverse_dev(graph, rev_cap)
     cand = jnp.concatenate([graph, rev], axis=1)
-    return _prune_blocks(cand, vectors, rnorm2, x_occ, rn_occ, r_out, alpha, block)
+    out = _prune_blocks(cand, vectors, rnorm2, x_occ, rn_occ, r_out, alpha, block, impl)
+    if salt:
+        return out, jnp.zeros((salt,), jnp.int32)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("overlap", "block"))
@@ -293,30 +316,25 @@ def _assign_topk(z, znorm2, centers, overlap: int, block: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "cmax"))
-def _membership_dev(assign, dists, k: int, cmax: int):
-    """Device twin of _build_membership: capacity-capped membership via one
-    3-key sort + run-position arithmetic (the host lexsort costs 10-20s at 1M
-    on a single-core host). assign/dists [N, ov] device. Returns (members
-    [k, cmax] i32, mem_slot [k, cmax] i32, entry_nodes [k] i32, n_dropped)."""
+def _membership_sort(assign, dists, k: int, cmax: int):
+    """Sort-based membership (round-1 implementation; kept as a toggle for
+    bisecting runtime issues — BUILD_SORT_MEMBERSHIP=1). Costly to COMPILE
+    (TPU sort lowering is O(log^2 m) stages; minutes at 1M), fast to run."""
     n, ov = assign.shape
     m = n * ov
     cl = assign.reshape(-1).astype(jnp.int32)
     dd = dists.reshape(-1)
     pt = jax.lax.broadcasted_iota(jnp.int32, (n, ov), 0).reshape(-1)
     sl = jax.lax.broadcasted_iota(jnp.int32, (n, ov), 1).reshape(-1)
-    # Sort by (cluster, slot, dist): primaries first within each cluster so
-    # every point keeps >= 1 membership under the capacity cap.
     cl_s, sl_s, dd_s, pt_s = jax.lax.sort((cl, sl, dd, pt), num_keys=3)
     pos_all = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
-    boundary = jnp.concatenate(
-        [jnp.ones((1,), bool), cl_s[1:] != cl_s[:-1]]
-    )
+    boundary = jnp.concatenate([jnp.ones((1,), bool), cl_s[1:] != cl_s[:-1]])
     run_start = jax.lax.associative_scan(
         jnp.maximum, jnp.where(boundary, pos_all, 0)
     )
     pos = pos_all - run_start
     keep = pos < cmax
-    row = jnp.where(keep, cl_s, k)  # dump row for capacity-dropped entries
+    row = jnp.where(keep, cl_s, k)
     col = jnp.minimum(pos, cmax - 1)
     members = (
         jnp.full((k + 1, cmax), -1, jnp.int32).at[row, col].set(pt_s, mode="drop")[:k]
@@ -330,6 +348,89 @@ def _membership_dev(assign, dists, k: int, cmax: int):
         .at[jnp.where(keep, pt_s, n)].set(True, mode="drop")[:n]
     )
     return members, mem_slot, entry_nodes, covered
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cmax"))
+def _membership_scatter(assign, dists, k: int, cmax: int):
+    """Capacity-capped membership via HASH-SCATTER ROUNDS.
+
+    assign/dists [N, ov] device (dists kept for interface parity; priority
+    within a cluster is slot order, then hash luck). Returns (members
+    [k, cmax] i32, mem_slot [k, cmax] i32, entry_nodes [k] i32, covered [n]).
+
+    Design note: the previous implementation was a 3-key lax.sort over all
+    N*ov memberships — correct and fast to RUN, but the TPU sort lowering
+    emits O(log² m) kernel stages, which at m = 2-4M costs 4-17 MINUTES of
+    XLA compile per distinct shape. Scatter rounds compile in seconds and run
+    in milliseconds: each (point, slot) membership tries `rounds` hashed
+    positions in its cluster row; first-come-wins via a max-scatter, placed
+    memberships retire, slot 0 (primary) goes first so it wins capacity.
+    Collision drops are recovered by later rounds / later slots, and any
+    still-uncovered points by the callers' host fix-up."""
+    n, ov = assign.shape
+    pt_col = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    members = jnp.full((k + 1, cmax), -1, jnp.int32)
+    mem_slot = jnp.zeros((k + 1, cmax), jnp.int32)
+    placed_any = jnp.zeros((n,), bool)
+    # Distance-priority WAVES: under capacity overflow, the sort version kept
+    # each cluster's NEAREST members; random drops instead evict core points
+    # into unreachable clusters (measured 0.978 -> 0.894 recall@10 on the
+    # serving table). Approximate that priority by placing global distance
+    # quantiles nearest-first (thresholds from a device quantile of the slot-0
+    # distances; coarse is fine — priority only matters between waves).
+    waves = 4
+    qs = jnp.quantile(
+        dists[:, 0].astype(jnp.float32),
+        jnp.asarray([0.25, 0.5, 0.75], jnp.float32),
+    )
+    bucket = (
+        (dists > qs[0]).astype(jnp.int32)
+        + (dists > qs[1]).astype(jnp.int32)
+        + (dists > qs[2]).astype(jnp.int32)
+    )  # [N, ov] in 0..3, 0 = nearest
+    # Per-(slot, wave) placement-failure is ~load^rounds at that point in the
+    # fill; 6 tries per wave x 4 waves bounds the miss rate while keeping the
+    # op count (ov x waves x rounds scatters over [N]) in the hundreds.
+    rounds = 6
+    for s in range(ov):
+        cl = assign[:, s].astype(jnp.int32)
+        cl = jnp.minimum(cl, k)  # dump row guards stray ids
+        need = jnp.ones((n,), bool)  # per-slot: overlap memberships all try
+        for w in range(waves):
+            eligible = bucket[:, s] <= w  # unplaced earlier waves retry
+            for r in range(rounds):
+                h = (
+                    (pt_col.astype(jnp.uint32) * jnp.uint32(2654435761))
+                    ^ jnp.uint32(
+                        ((w * 7 + r) * 0x9E3779B9 + s * 0x85EBCA6B) & 0xFFFFFFFF
+                    )
+                )
+                pos = (h % jnp.uint32(cmax)).astype(jnp.int32)
+                trying = need & eligible
+                row = jnp.where(trying, cl, k)  # retired -> dump row
+                free = jnp.take(members.reshape(-1), row * cmax + pos) < 0
+                row = jnp.where(free, row, k)
+                members = members.at[row, pos].max(pt_col, mode="drop")
+                won = jnp.take(members.reshape(-1), row * cmax + pos) == pt_col
+                won = won & trying & free
+                mem_slot = mem_slot.at[
+                    jnp.where(won, row, k), pos
+                ].set(jnp.int32(s), mode="drop")
+                placed_any = placed_any | won
+                need = need & ~won
+    members = members[:k]
+    mem_slot = mem_slot[:k]
+    # Entry node per cluster: any member (first occupied column).
+    first_col = jnp.argmax(members >= 0, axis=1)
+    entry_nodes = jnp.take_along_axis(members, first_col[:, None], axis=1)[:, 0]
+    return members, mem_slot, entry_nodes, placed_any
+
+
+def _membership_dev(assign, dists, k: int, cmax: int):
+    if _SORT_MEMBERSHIP:
+        return _membership_sort(assign, dists, k, cmax)
+    return _membership_scatter(assign, dists, k, cmax)
+
 
 
 def _build_membership(assign: np.ndarray, dists: np.ndarray, k: int, cmax: int):
@@ -614,15 +715,47 @@ def build_graph_clustered(
     hop_a, hop_b = min(16, kw), max(1, hop2 // 16)
 
     def _retry(make, tag):
-        # Executable-reuse bug containment — see utils/devbug.py.
+        # Executable-reuse bug containment — see utils/devbug.py. `make`
+        # accepts salt: int; salt > 0 recompiles the stage with a changed
+        # executable signature, bypassing a poisoned runtime slot that
+        # clear_caches alone cannot evict (observed: _prune_all dispatch
+        # deterministically fails after the full build sequence has run,
+        # while the identical program runs fine in a fresh process).
+        import time as _t
+
         from vecgo_tpu.utils.devbug import call_compiled
 
-        return call_compiled(make)
+        try:
+            return call_compiled(make)
+        except Exception as e:  # noqa: BLE001
+            if "INVALID_ARGUMENT" not in str(e):
+                raise
+        # The dispatch failure is FLAKY (the same salted recompile has been
+        # observed to both fail and succeed): walk a ladder of
+        # signature-changing recompiles with pauses, then the sequential
+        # program shape as a last resort.
+        last = None
+        for attempt, kw in enumerate(
+            ({"salt": 1}, {"salt": 2}, {"impl": "seq"},
+             {"impl": "seq", "salt": 1}, {"salt": 3}),
+        ):
+            _t.sleep(2.0 * (attempt + 1))
+            try:
+                logger.warning("%s: retry %d with %r", tag, attempt, kw)
+                out = jax.block_until_ready(make(**kw))
+                return out[0] if kw.get("salt") else out
+            except Exception as e:  # noqa: BLE001
+                if "INVALID_ARGUMENT" not in str(e):
+                    raise
+                last = e
+                jax.clear_caches()
+        raise last
 
     w_d, w_i = _retry(
-        lambda: _descend(
+        lambda salt=0, impl=None: _descend(
             _padded(cand), x16, rnorm2,
             max(refine_rounds, 0), kw, block, hop_a, hop_b, rev_cap,
+            salt=salt,
         ),
         "descend",
     )
@@ -631,14 +764,27 @@ def build_graph_clustered(
     # ---- RobustPrune the converged lists (+ random far candidates) ----
     cand_final = w_i
     if n_rand > 0:
-        # Random far candidates generated ON DEVICE (host RNG + a 32 MB
-        # upload cost seconds at 1M over the dev tunnel).
-        randc = _rand_cand(pad_n, n, n_rand, seed)
+        if _HOST_RAND:
+            randc = _padded(jnp.asarray(
+                rng.integers(0, n, size=(n, n_rand), dtype=np.int64).astype(np.int32)
+            ))
+        else:
+            # Random far candidates generated ON DEVICE (host RNG + a 32 MB
+            # upload cost seconds at 1M over the dev tunnel).
+            randc = _rand_cand(pad_n, n, n_rand, seed)
         cand_final = jnp.concatenate([cand_final, randc], axis=1)
     t0 = _tick(times, "rand_cand", t0, cand_final)
+    if _CANON_OPS:
+        # Diagnostic/workaround: re-materialize prune operands through a
+        # compiled identity (canonical layouts) before the prune dispatch.
+        _ident = jax.jit(lambda a, b, c: (a + 0, b + 0.0, c + 0.0))
+        cand_final, x_occ, rn_occ = jax.block_until_ready(
+            _ident(cand_final, x_occ, rn_occ)
+        )
     graph = _retry(
-        lambda: _prune_all(
-            cand_final, x16, rnorm2, x_occ, rn_occ, r, alpha, block
+        lambda salt=0, impl="batched": _prune_all(
+            cand_final, x16, rnorm2, x_occ, rn_occ, r, alpha, block,
+            salt=salt, impl=impl,
         ),
         "prune",
     )
@@ -646,8 +792,9 @@ def build_graph_clustered(
 
     # ---- reverse-edge pass + re-prune, fused on device ----
     graph = _retry(
-        lambda: _prune_with_reverse(
-            graph, x16, rnorm2, x_occ, rn_occ, r, alpha, block, rev_cap
+        lambda salt=0, impl="batched": _prune_with_reverse(
+            graph, x16, rnorm2, x_occ, rn_occ, r, alpha, block, rev_cap,
+            salt=salt, impl=impl,
         ),
         "prune+reverse",
     )

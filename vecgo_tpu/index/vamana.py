@@ -529,7 +529,10 @@ class VamanaSegment:
                 # Auto: enough probes that the shortlist pool comfortably
                 # covers ef; floor 8, cap 32 (probe cost is linear).
                 n_probe = int(min(kt, max(8, min(32, (ef + 15) // 16 * 4))))
-            kk = min(16, table.bnorm2.shape[1])
+            # Per-(query, cluster) winners: ~2*ef/n_probe covers the pool
+            # width; the in-cluster top-k is a major scan cost (linear in kk).
+            kk = max(8, min(16, -(-2 * ef // max(n_probe, 1))))
+            kk = min(kk, int(table.bnorm2.shape[1]))
             mflat = (
                 ivf_ops.slot_mask_from_rows(table, dmask)
                 if dmask is not None

@@ -294,13 +294,9 @@ def robust_prune(
 ):
     """Jitted entry point for direct callers; per-variant jit objects (see
     beam_search). Inside an already-jitted program call robust_prune_traced."""
-    lazy = _resolve_lazy(
-        lazy_occlusion, cand_ids.shape[1], r_out,
-        (vectors_occ if vectors_occ is not None else vectors).shape[-1],
-    )
     from vecgo_tpu.utils.devbug import dispatch_guarded
 
-    fn = _prune_jit(r_out, float(alpha), lazy, vectors_occ is not None)
+    fn = _prune_jit(r_out, float(alpha), False, vectors_occ is not None)
     if vectors_occ is not None:
         return dispatch_guarded(
             fn, p_ids, p_vecs, cand_ids, vectors, rnorm2, vectors_occ, rnorm2_occ
@@ -322,17 +318,6 @@ def _prune_jit(r_out, alpha, lazy, has_occ):
     )
 
 
-def _resolve_lazy(lazy_occlusion, l: int, r_out: int, occ_d: int) -> bool:
-    if lazy_occlusion is not None:
-        return bool(lazy_occlusion)
-    # The upfront gram costs O(L^2 d_occ) in well-shaped batched matmuls;
-    # lazy costs O(R L d_occ) in skinny per-pick matvecs that reach a
-    # fraction of MXU peak (measured ~5-10x less). Prefer the gram unless
-    # the candidate list is very wide relative to the output degree or the
-    # occlusion runs full-dimension.
-    return l > 64 if occ_d > 48 else l > 4 * r_out
-
-
 def robust_prune_traced(
     p_ids,  # [C] int32 node being pruned (excluded from its own candidates)
     p_vecs,  # [C, d]
@@ -344,103 +329,182 @@ def robust_prune_traced(
     alpha: float,
     vectors_occ=None,  # [N, d'] optional low-dim projection for the occlusion
     rnorm2_occ=None,  # [N] norms of vectors_occ
-    lazy_occlusion=None,  # None = auto (lazy when L > 64)
+    lazy_occlusion=None,  # accepted for API compatibility; ignored
+    pick_batch: int = 8,
+    impl: str = "batched",  # "batched" (default) | "seq" (fallback)
 ):
     """Vectorized RobustPrune (reference: diskann/writer.go:571-625).
 
-    Per node: repeatedly take the closest alive candidate c*, keep it, and
-    kill every candidate x with alpha * d(c*, x) <= d(p, x). Runs the R_out
-    picks as a lax.scan with [C, L] masks; all distances via batched matmuls;
-    no scatters (column writes become iota-mask selects).
+    Semantics: scan candidates in ascending d(p, ·) order; keep a candidate
+    unless an already-kept neighbor c occludes it (alpha * d(c, x) <= d(p, x));
+    stop at r_out keepers. This equals the reference's pick-the-min loop —
+    the sequential pick order IS the d_p order, and killed candidates are
+    simply skipped.
 
-    The pick order d(p, x) is always full-dimension. The occlusion test's
-    pairwise distances are the FLOP/HBM-heavy term; two controls:
-    - (vectors_occ, rnorm2_occ): a JL projection (pre-scaled so expected
-      squared distances match full-dim) computes occlusion in d' dims —
-      occlusion is a coarse geometric filter and tolerates it.
-    - lazy_occlusion: instead of materializing the [C, L, L] gram upfront
-      (O(L^2 d) FLOPs and an HBM-resident L^2 tile), compute d(c*, ·) per
-      pick — O(R L d). Wins for wide candidate lists (auto above L=64).
+    TPU formulation ("keepers-centric batched greedy"): candidates are sorted
+    by d_p once, then processed in CONTIGUOUS batches of `pick_batch`. Each
+    batch is tested against the kept set with one [m, occ] x [occ, r_out]
+    matmul and against itself with a triangular [m, m] pass, and survivors
+    append to the kept set via one-hot-mask writes. Exact (not approximate),
+    and replaces the round-1 one-pick-per-step scan whose skinny per-pick
+    matvecs ran at a few percent of MXU peak (measured: the pick loop, not
+    the occlusion gram, was ~95% of prune cost).
+
+    (vectors_occ, rnorm2_occ): optional JL projection computing the occlusion
+    in d' dims — occlusion is a coarse geometric filter and tolerates it; the
+    pick order d_p stays full-dimension. lazy_occlusion is accepted for API
+    compatibility and ignored (superseded by batching).
 
     Returns [C, r_out] int32 neighbor ids (-1 padded).
     """
+    del lazy_occlusion  # superseded (see docstring)
     c, l = cand_ids.shape
-    lazy_occlusion = _resolve_lazy(
-        lazy_occlusion, l, r_out,
-        (vectors_occ if vectors_occ is not None else vectors).shape[-1],
-    )
+    m = min(pick_batch, l)
     pf = p_vecs.astype(jnp.float32)
     p16 = p_vecs.astype(jnp.bfloat16)
     pn = jnp.sum(pf * pf, axis=-1, keepdims=True)
 
     # Dedup candidates by id BEFORE any gathers: sort each row, kill adjacent
-    # duplicates (O(L log L), replacing an HBM-resident [C, L, L] compare
-    # tensor; candidate order is irrelevant to the prune).
+    # duplicates (O(L log L); candidate order is irrelevant to the prune).
     si = jax.lax.sort(cand_ids, dimension=1)
     pos = jax.lax.broadcasted_iota(jnp.int32, si.shape, 1)
     dup = (si == jnp.roll(si, 1, axis=1)) & (pos > 0) & (si >= 0)
     cand_ids = jnp.where(dup, -1, si)
 
     safe = jnp.maximum(cand_ids, 0)
-    cv = jnp.take(vectors, safe.reshape(-1), axis=0).reshape(c, l, -1)
-    cv16 = cv.astype(jnp.bfloat16)
+    cv16 = jnp.take(vectors, safe.reshape(-1), axis=0).reshape(
+        c, l, -1
+    ).astype(jnp.bfloat16)
     cn = jnp.take(rnorm2, safe)  # [C, L]
     d_p = pn + cn - 2.0 * jnp.einsum(
         "cld,cd->cl", cv16, p16, preferred_element_type=jnp.float32
     )
-    # Occlusion geometry source: projected copies when provided, else full-dim.
+    valid = (cand_ids >= 0) & (cand_ids != p_ids[:, None])
+    d_p = jnp.where(valid, jnp.maximum(d_p, 0.0), _BIG)
+
+    if impl == "seq":
+        # Fallback: the round-1 one-pick-per-step scan (slower but a
+        # differently-shaped program — used when the batched executable
+        # trips the runtime's dispatch bug; utils/devbug.py).
+        if vectors_occ is not None:
+            ovs = jnp.take(vectors_occ, safe.reshape(-1), axis=0).reshape(
+                c, l, -1
+            ).astype(jnp.bfloat16)
+            ons = jnp.take(rnorm2_occ, safe)
+        else:
+            ovs, ons = cv16, cn
+        gram = jnp.einsum(
+            "cld,cmd->clm", ovs, ovs, preferred_element_type=jnp.float32
+        )
+        d_all = jnp.maximum(ons[:, :, None] + ons[:, None, :] - 2.0 * gram, 0.0)
+        out_cols = jax.lax.broadcasted_iota(jnp.int32, (1, r_out), 1)
+
+        def pick(carry, slot):
+            alive, out_ids = carry
+            dmask = jnp.where(alive, d_p, _BIG)
+            best_d = jnp.min(dmask, axis=1, keepdims=True)
+            ok = best_d[:, 0] < _BIG
+            is_best = (dmask == best_d) & alive
+            first = jnp.cumsum(is_best.astype(jnp.int32), axis=1) == 1
+            is_best = is_best & first
+            best_id = jnp.sum(jnp.where(is_best, cand_ids, 0), axis=1)
+            best_id = jnp.where(ok, best_id, -1)
+            out_ids = jnp.where(out_cols == slot, best_id[:, None], out_ids)
+            d_cx = jnp.sum(jnp.where(is_best[:, :, None], d_all, 0.0), axis=1)
+            killed = alpha * d_cx <= d_p
+            alive = alive & ~killed & ok[:, None]
+            return (alive, out_ids), None
+
+        out_seq = jnp.full((c, r_out), -1, jnp.int32)
+        (_, out_seq), _ = jax.lax.scan(
+            pick, (valid, out_seq), jnp.arange(r_out, dtype=jnp.int32)
+        )
+        return out_seq
+
+    # Sort candidates by d_p; gather occlusion rows in sorted order.
+    d_s, ids_s = jax.lax.sort((d_p, cand_ids), num_keys=1)
+    safe_s = jnp.maximum(ids_s, 0)
     if vectors_occ is not None:
-        ov16 = jnp.take(vectors_occ, safe.reshape(-1), axis=0).reshape(
+        ov16 = jnp.take(vectors_occ, safe_s.reshape(-1), axis=0).reshape(
             c, l, -1
         ).astype(jnp.bfloat16)
-        on = jnp.take(rnorm2_occ, safe)
+        on = jnp.take(rnorm2_occ, safe_s)
     else:
-        ov16, on = cv16, cn
-    if not lazy_occlusion:
-        # Precompute ALL pairwise candidate distances with one MXU-shaped
-        # batched matmul; the pick loop then does pure elementwise work.
-        gram = jnp.einsum(
-            "cld,cmd->clm", ov16, ov16, preferred_element_type=jnp.float32
-        )
-        d_all = jnp.maximum(on[:, :, None] + on[:, None, :] - 2.0 * gram, 0.0)
+        ov16 = jnp.take(vectors, safe_s.reshape(-1), axis=0).reshape(
+            c, l, -1
+        ).astype(jnp.bfloat16)
+        on = jnp.take(rnorm2, safe_s)
+    valid_s = d_s < _BIG
 
-    valid = (cand_ids >= 0) & (cand_ids != p_ids[:, None])
-    d_p = jnp.where(valid, d_p, _BIG)
+    l_pad = ((l + m - 1) // m) * m
+    if l_pad > l:
+        padw = l_pad - l
+        ov16 = jnp.pad(ov16, ((0, 0), (0, padw), (0, 0)))
+        on = jnp.pad(on, ((0, 0), (0, padw)), constant_values=_BIG)
+        d_s = jnp.pad(d_s, ((0, 0), (0, padw)), constant_values=_BIG)
+        ids_s = jnp.pad(ids_s, ((0, 0), (0, padw)), constant_values=-1)
+        valid_s = jnp.pad(valid_s, ((0, 0), (0, padw)))
 
-    out_cols = jax.lax.broadcasted_iota(jnp.int32, (1, r_out), 1)
-
-    def pick(carry, slot):
-        alive, out_ids = carry
-        dmask = jnp.where(alive, d_p, _BIG)
-        best_d = jnp.min(dmask, axis=1, keepdims=True)  # [C, 1]
-        ok = best_d[:, 0] < _BIG
-        # First alive candidate achieving the min (mask-based, no argmin gather).
-        is_best = (dmask == best_d) & alive
-        first = jnp.cumsum(is_best.astype(jnp.int32), axis=1) == 1
-        is_best = is_best & first
-        best_id = jnp.sum(jnp.where(is_best, cand_ids, 0), axis=1)
-        best_id = jnp.where(ok, best_id, -1)
-        out_ids = jnp.where(out_cols == slot, best_id[:, None], out_ids)
-        # Occlusion: alpha * d(c*, x) <= d(p, x) kills x (incl. c* itself).
-        if lazy_occlusion:
-            c_star = jnp.einsum(
-                "cl,cld->cd", is_best.astype(jnp.bfloat16), ov16,
-                preferred_element_type=jnp.float32,
-            )
-            c_star_n = jnp.sum(jnp.where(is_best, on, 0.0), axis=1)
-            prod = jnp.einsum(
-                "cld,cd->cl", ov16, c_star.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-            d_cx = jnp.maximum(c_star_n[:, None] + on - 2.0 * prod, 0.0)
-        else:
-            d_cx = jnp.sum(jnp.where(is_best[:, :, None], d_all, 0.0), axis=1)
-        killed = alpha * d_cx <= d_p
-        alive = alive & ~killed & ok[:, None]
-        return (alive, out_ids), None
-
+    occ_d = ov16.shape[-1]
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, r_out), 2)
+    m_iota = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    # Empty keeper slots carry +_BIG norms: their occlusion distances are
+    # astronomically large, so they can never kill (no keeper mask needed).
+    k_occ = jnp.zeros((c, r_out, occ_d), jnp.float32)
+    k_on = jnp.full((c, r_out), _BIG, jnp.float32)
     out_ids = jnp.full((c, r_out), -1, jnp.int32)
-    (alive, out_ids), _ = jax.lax.scan(
-        pick, (valid, out_ids), jnp.arange(r_out, dtype=jnp.int32)
+    count = jnp.zeros((c,), jnp.int32)
+
+    def step(carry, xs):
+        k_occ, k_on, out_ids, count = carry
+        cb16, on_b, dpb, idsb, vb = xs  # [C, m, ...] batch in d_p order
+        # Kills from the kept set: alpha * d(keeper, x) <= d_p(x).
+        prod = jnp.einsum(
+            "cmd,crd->cmr", cb16, k_occ.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        d_k = on_b[:, :, None] + k_on[:, None, :] - 2.0 * prod
+        killed = jnp.any(alpha * jnp.maximum(d_k, 0.0) <= dpb[:, :, None], axis=2)
+        alive_b = vb & ~killed
+        # Within-batch triangular pass (earlier survivors kill later members —
+        # identical to sequential processing; m is small, unrolled).
+        gram_b = jnp.einsum(
+            "cmd,cnd->cmn", cb16, cb16, preferred_element_type=jnp.float32
+        )
+        d_bb = jnp.maximum(on_b[:, :, None] + on_b[:, None, :] - 2.0 * gram_b, 0.0)
+        for j in range(1, m):
+            kill_j = jnp.any(
+                alive_b[:, :j] & (alpha * d_bb[:, :j, j] <= dpb[:, j : j + 1]),
+                axis=1,
+            )
+            alive_b = alive_b & ~(kill_j[:, None] & (m_iota == j))
+        # Append survivors to the kept set (one-hot column writes).
+        rank = jnp.cumsum(alive_b.astype(jnp.int32), axis=1)
+        col = count[:, None] + rank - 1  # [C, m]
+        ok_w = alive_b & (col < r_out)
+        wm = ok_w[:, :, None] & (col[:, :, None] == r_iota)  # [C, m, r_out]
+        hit = jnp.any(wm, axis=1)
+        out_ids = jnp.where(
+            hit, jnp.sum(jnp.where(wm, idsb[:, :, None], 0), axis=1), out_ids
+        )
+        k_on = jnp.where(
+            hit, jnp.sum(jnp.where(wm, on_b[:, :, None], 0.0), axis=1), k_on
+        )
+        k_occ = k_occ + jnp.einsum(
+            "cmr,cmd->crd", wm.astype(jnp.float32), cb16.astype(jnp.float32)
+        )
+        count = count + jnp.sum(ok_w.astype(jnp.int32), axis=1)
+        return (k_occ, k_on, out_ids, count), None
+
+    steps = l_pad // m
+    xs = (
+        jnp.moveaxis(ov16.reshape(c, steps, m, occ_d), 1, 0),
+        jnp.moveaxis(on.reshape(c, steps, m), 1, 0),
+        jnp.moveaxis(d_s.reshape(c, steps, m), 1, 0),
+        jnp.moveaxis(ids_s.reshape(c, steps, m), 1, 0),
+        jnp.moveaxis(valid_s.reshape(c, steps, m), 1, 0),
+    )
+    (k_occ, k_on, out_ids, count), _ = jax.lax.scan(
+        step, (k_occ, k_on, out_ids, count), xs
     )
     return out_ids

@@ -77,4 +77,7 @@ def call_compiled(fn, *args, **kwargs):
             raise
         logger.warning("compiled call failed again; clearing jit caches")
         jax.clear_caches()
+        import gc
+
+        gc.collect()  # release device executables held only by cleared caches
         return jax.block_until_ready(fn(*args, **kwargs))
