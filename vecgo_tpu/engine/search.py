@@ -45,8 +45,10 @@ _ROW_BITS = 25
 _ROW_LIMIT = 1 << _ROW_BITS
 _MAX_SLOTS = 64
 # Extra merged candidates beyond fetch_k: headroom for entries dropped by the
-# MVCC visibility check / dirty-id dedup on churned ids.
-_VIS_MARGIN = 16
+# MVCC visibility check / dirty-id dedup on churned ids. Kept tight: the
+# packed [2, B, fetch_k+margin] result transfer is the engine's throughput
+# bound on slow links (the dev tunnel moves D2H at ~10 MB/s).
+_VIS_MARGIN = 6
 
 # Pipelined search chunk (queries per device program).
 CHUNK_B = 1024
