@@ -94,6 +94,30 @@ def main():
         rng.standard_normal((N_QUERIES, d)).astype(np.float32)
     )
 
+    # ---------------- engine ingest (deferred-style bulk) ----------------
+    # Reference: BatchInsertDeferred ~2M vec/s (doc.go:33-35). Host-only path
+    # (one memtable slab write + one PK block per batch), measured BEFORE the
+    # device-heavy phases: this environment slows host loops in processes
+    # that have run large device programs (docs/PERF.md).
+    try:
+        from vecgo_tpu.blobstore import MemoryStore
+        from vecgo_tpu.engine import Engine, EngineOptions
+
+        eng = Engine.open(
+            MemoryStore(), EngineOptions(dim=d, flush_threshold=2**62), create=True
+        )
+        t0 = time.perf_counter()
+        eng.insert_batch(x)
+        dt = time.perf_counter() - t0
+        del eng
+        extras["ingest_vps"] = round(n / dt, 1)
+        extras["ingest_vs_go_deferred"] = round(n / dt / 2_064_326.0, 2)
+    except Exception as e:  # noqa: BLE001
+        log(f"ingest phase failed: {e!r}")
+        extras["ingest_error"] = repr(e)
+
+
+
     xd = jnp.asarray(x)
     rnorm2 = jnp.sum(xd.astype(jnp.float32) ** 2, axis=1)
     qd = jnp.asarray(q_all)
@@ -300,25 +324,6 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"streaming phase failed: {e!r}")
         extras["stream_error"] = repr(e)
-
-    # ---------------- engine ingest (deferred-style bulk) ----------------
-    # Reference: BatchInsertDeferred ~2M vec/s (doc.go:33-35). Host-only path:
-    # one memtable slab write + one PK block per batch.
-    try:
-        from vecgo_tpu.blobstore import MemoryStore
-        from vecgo_tpu.engine import Engine, EngineOptions
-
-        eng = Engine.open(
-            MemoryStore(), EngineOptions(dim=d, flush_threshold=2**62), create=True
-        )
-        t0 = time.perf_counter()
-        eng.insert_batch(x)
-        dt = time.perf_counter() - t0
-        extras["ingest_vps"] = round(n / dt, 1)
-        extras["ingest_vs_go_deferred"] = round(n / dt / 2_064_326.0, 2)
-    except Exception as e:  # noqa: BLE001
-        log(f"ingest phase failed: {e!r}")
-        extras["ingest_error"] = repr(e)
 
     # ---------------- headline ----------------
     ok = {k: v for k, v in results.items() if v[1] >= 0.95} or results

@@ -542,3 +542,21 @@ def test_explicit_id_bulk_ingest():
     eng.commit()
     res = eng.search(x[199], k=1)
     assert res.candidates[0].id == 1199
+
+
+def test_search_arrays_matches_search_batch():
+    """search_arrays (pipelined bulk path) returns the same ids as
+    search_batch, including across the chunked (>CHUNK_B) route."""
+    from vecgo_tpu.engine import search as search_mod
+
+    eng = new_engine()
+    x = tu.gaussian_vectors(3000, D, seed=81)
+    eng.insert_batch(x)
+    eng.commit()
+    eng.insert_batch(tu.gaussian_vectors(50, D, seed=82))  # memtable source too
+    q = tu.gaussian_vectors(2 * search_mod.CHUNK_B + 64, D, seed=83)
+    ids_a, d_a = eng.search_arrays(q, k=5)
+    res = eng.search_batch(q[:32], k=5)
+    got = np.asarray([[c.id for c in r.candidates] for r in res])
+    assert (ids_a[:32] == got).all()
+    assert np.isfinite(d_a[:32]).all()
