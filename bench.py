@@ -267,7 +267,8 @@ def main():
 
         chosen = None
         for ef, n_probe, refine in (
-            (48, 12, 0), (48, 16, 0), (48, 16, 1), (96, 24, 1), (96, 32, 2)
+            (48, 8, 0), (48, 10, 0), (48, 12, 0), (48, 16, 0), (48, 16, 1),
+            (96, 24, 1), (96, 32, 2),
         ):
             _, ids = vam_run(qd, ef, n_probe, refine)
             rec = recall_v(np.asarray(ids))
