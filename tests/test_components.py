@@ -341,3 +341,119 @@ def test_background_flush_compact():
     assert st["memtable_rows"] == 0 and st["segment_rows"] == 100
     eng.close()  # stops background threads
     assert eng.search is not None
+
+
+def test_manifest_store_ddb_commit_plane():
+    """VERDICT r2 #10: DDBCommitStore wired into ManifestStore.save — two
+    concurrent writers racing the same next version: one commits, one gets
+    ErrConflict (reference: ddb_commit_store.go:105-172)."""
+    from vecgo_tpu.blobstore import MemoryStore
+    from vecgo_tpu.engine.manifest import Manifest, ManifestStore
+
+    ddb = FakeDDB()
+    blob = MemoryStore()
+    w1 = ManifestStore(blob, commit_store=DDBCommitStore(ddb, "commits", "db1"))
+    w2 = ManifestStore(blob, commit_store=DDBCommitStore(ddb, "commits", "db1"))
+    assert not w1.exists()
+    m = Manifest(version=0, lsn=0, next_id=1, next_seg_id=1)
+    w1.save(m)
+    assert w1.exists() and w2.current_version() == 0
+
+    # Both writers observe version 0 and race to commit version 1.
+    m1 = Manifest(version=1, lsn=5, next_id=9, next_seg_id=2)
+    w1.save(m1, expect_version=0)
+    import pytest as _pytest
+
+    from vecgo_tpu.errors import ErrConflict as _EC
+
+    m2 = Manifest(version=2, lsn=6, next_id=9, next_seg_id=2)
+    with _pytest.raises(_EC):
+        w2.save(m2, expect_version=0)  # stale view: DDB is at 1
+    assert w2.current_version() == 1
+    # The loser's manifest blob is an orphan; the winner's history is intact.
+    assert w2.load(1).lsn == 5
+
+
+class CountingStore:
+    """Wraps a BlobStore; counts bytes actually fetched from it."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.bytes_read = 0
+        self.range_calls = 0
+        self.full_gets = 0
+
+    def get(self, name):
+        data = self.inner.get(name)
+        self.full_gets += 1
+        self.bytes_read += len(data)
+        return data
+
+    def get_range(self, name, offset, length):
+        out = self.inner.get_range(name, offset, length)
+        self.range_calls += 1
+        self.bytes_read += len(out)
+        return out
+
+    def __getattr__(self, attr):
+        return getattr(self.inner, attr)
+
+
+def test_caching_store_ranged_reads_are_block_granular():
+    """VERDICT r2 #6: a partial read through CachingStore must fetch O(block)
+    bytes from the inner store, never the whole object
+    (reference: blobstore/caching_store.go:13-69)."""
+    from vecgo_tpu.blobstore import MemoryStore
+    from vecgo_tpu.storage.cache import CachingStore, LRUCache
+
+    inner = MemoryStore()
+    blob = bytes(range(256)) * 4096  # 1 MiB
+    inner.put("seg", blob)
+    counted = CountingStore(inner)
+    cs = CachingStore(counted, cache=LRUCache(64 * 1024 * 1024), block_size=4096)
+
+    out = cs.get_range("seg", 10_000, 100)
+    assert out == blob[10_000:10_100]
+    assert counted.full_gets == 0
+    assert counted.bytes_read <= 2 * 4096  # the covering block(s) only
+
+    # Cache hit: second read costs the inner store nothing.
+    before = counted.bytes_read
+    assert cs.get_range("seg", 10_016, 64) == blob[10_016:10_080]
+    assert counted.bytes_read == before
+
+    # Block-boundary straddle.
+    assert cs.get_range("seg", 4090, 16) == blob[4090:4106]
+    # Tail clamp.
+    assert cs.get_range("seg", len(blob) - 8, 100) == blob[-8:]
+
+
+def test_lazy_segment_open_defers_docs_payload():
+    """Remote opens pull the header + hot sections only; docs/payload load on
+    first access, via ranged reads (reference: diskann segment.go:1151)."""
+    import json as _json
+
+    from vecgo_tpu.blobstore import MemoryStore
+    from vecgo_tpu.index.flat import FlatSegment, FlatWriter
+    from vecgo_tpu.model import Metric
+
+    w = FlatWriter(dim=8, metric=Metric.L2)
+    rng = np.random.default_rng(3)
+    big_payload = b"x" * 100_000
+    for i in range(50):
+        w.add(rng.random(8).astype(np.float32), id=i + 1,
+              metadata={"i": i}, payload=big_payload if i == 7 else None)
+    data = w.finish()
+
+    inner = MemoryStore()
+    inner.put("seg", data)
+    counted = CountingStore(inner)
+    seg = FlatSegment.open_lazy(counted, "seg", seg_id=1)
+    opened_bytes = counted.bytes_read
+    assert opened_bytes < len(data) - 90_000  # payload blob not fetched
+    assert seg.n == 50 and seg.doc(3) == {"i": 3}
+
+    # First payload touch fetches the payload sections, once.
+    assert seg.payload(7) == big_payload
+    assert seg.payload(8) is None
+    assert counted.bytes_read >= opened_bytes + 100_000

@@ -111,3 +111,16 @@ def test_ivf_table_overflow_spill():
     cents, members = ivf.build_ivf_table(x, capacity=128, slack=1.5, seed=1)
     live = members[members >= 0]
     assert len(np.unique(live)) == len(x)
+
+
+def test_build_table_tiny_cluster_count():
+    """ADVICE r2: capacity >= ~n*slack/2 trains k < 4 clusters; overlap must
+    clamp to k or the top-k assignment fails."""
+    from vecgo_tpu.ops import ivf
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((5000, 16)).astype(np.float32)
+    cents, members = ivf.build_ivf_table(x, capacity=4096, seed=2)
+    assert cents.shape[0] == 2
+    live = members[members >= 0]
+    assert len(np.unique(live)) == len(x)

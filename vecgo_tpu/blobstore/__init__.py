@@ -27,6 +27,13 @@ class BlobStore(abc.ABC):
     @abc.abstractmethod
     def get(self, name: str) -> bytes: ...
 
+    def get_range(self, name: str, offset: int, length: int) -> bytes:
+        """Ranged read [offset, offset+length). Base fallback is O(object);
+        stores with real ranged IO (LocalStore seek/read, S3 `Range:` header,
+        CachingStore block cache) override with O(length) implementations
+        (reference: blobstore.Blob random access, diskann readBlock:1151)."""
+        return self.get(name)[offset : offset + length]
+
     @abc.abstractmethod
     def delete(self, name: str) -> None: ...
 
@@ -92,6 +99,14 @@ class LocalStore(BlobStore):
         try:
             with open(self._path(name), "rb") as f:
                 return f.read()
+        except FileNotFoundError:
+            raise ErrNotFound(name)
+
+    def get_range(self, name: str, offset: int, length: int) -> bytes:
+        try:
+            with open(self._path(name), "rb") as f:
+                f.seek(offset)
+                return f.read(length)
         except FileNotFoundError:
             raise ErrNotFound(name)
 

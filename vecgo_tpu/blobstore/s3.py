@@ -89,6 +89,24 @@ class S3Store(BlobStore):
         body = resp["Body"]
         return body.read() if hasattr(body, "read") else body
 
+    def get_range(self, name: str, offset: int, length: int) -> bytes:
+        """Ranged GET via the HTTP `Range:` header — O(length) transfer
+        (reference: blobstore reads behind diskann readBlock:1151)."""
+        if length <= 0:
+            return b""
+        try:
+            resp = self.client.get_object(
+                Bucket=self.bucket,
+                Key=self._key(name),
+                Range=f"bytes={offset}-{offset + length - 1}",
+            )
+        except Exception as e:
+            if _is_missing(e):
+                raise ErrNotFound(name)
+            raise
+        body = resp["Body"]
+        return body.read() if hasattr(body, "read") else body
+
     def delete(self, name: str) -> None:
         self.client.delete_object(Bucket=self.bucket, Key=self._key(name))
 

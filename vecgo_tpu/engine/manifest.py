@@ -115,15 +115,32 @@ def _name(version: int) -> str:
 
 
 class ManifestStore:
-    """Load/save versioned manifests over a BlobStore."""
+    """Load/save versioned manifests over a BlobStore.
 
-    def __init__(self, store: BlobStore):
+    `commit_store` (optional) is a DDB-style conditional-write commit plane
+    (blobstore.s3.DDBCommitStore): when set, it is the AUTHORITY for the
+    CURRENT pointer — version swings go through its CAS, giving multi-writer
+    safety even when the object store's put_if_not_exists is not atomic
+    (reference: ddb_commit_store.go:105-172). The CURRENT blob is still
+    written afterwards as a best-effort mirror for commit-store-less readers.
+    """
+
+    def __init__(self, store: BlobStore, commit_store=None):
         self.store = store
+        self.commit_store = commit_store
 
     def exists(self) -> bool:
+        if self.commit_store is not None:
+            if self.commit_store.current_version() is not None:
+                return True
         return self.store.exists(CURRENT)
 
     def current_version(self) -> int:
+        if self.commit_store is not None:
+            v = self.commit_store.current_version()
+            if v is not None:
+                return int(v)
+            raise ErrNotFound(CURRENT)
         try:
             return int(self.store.get(CURRENT).decode().strip())
         except ErrNotFound:
@@ -173,6 +190,15 @@ class ManifestStore:
             raise ErrConflict(
                 f"manifest version {m.version} already committed by another writer"
             )
+        if self.commit_store is not None:
+            # Conditional pointer swing: expect the caller's view of the
+            # previous version (or the plane's own read). A concurrent writer
+            # that committed in between fails the condition -> ErrConflict,
+            # and the freshly-written manifest blob becomes an orphan for GC.
+            prev = expect_version
+            if prev is None:
+                prev = self.commit_store.current_version()
+            self.commit_store.commit_version(m.version, expect_previous=prev)
         self.store.put(CURRENT, str(m.version).encode())
 
     def vacuum(self, keep_versions: int, keep_duration_s: float = 0.0):

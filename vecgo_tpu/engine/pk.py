@@ -266,14 +266,25 @@ class PKIndex:
 
     # ---------------- checkpoint ----------------
 
-    def checkpoint_bytes(self) -> bytes:
-        """Serialize blocks + chains (reference: pk/persist.go:20-97)."""
+    def checkpoint_bytes(self, max_lsn: Optional[int] = None) -> bytes:
+        """Serialize blocks + chains (reference: pk/persist.go:20-97).
+
+        max_lsn bounds the checkpoint to DURABLE state: entries newer than the
+        last committed manifest LSN — uncommitted upserts/deletes and anything
+        addressing the volatile memtable — are stripped, matching the crash
+        model (lose everything since last Commit). Without the strip, a
+        checkpoint taken at Close would resurrect memtable locations that no
+        longer exist on reopen."""
         from vecgo_tpu.storage import container
 
         ids, lsns, segs, rows = [], [], [], []
         with self._lock:
             for id, chain in self._chains.items():
                 for lsn, seg, row in chain:
+                    if max_lsn is not None and (
+                        lsn > max_lsn or seg == MEMTABLE_SEG
+                    ):
+                        continue
                     ids.append(id)
                     lsns.append(lsn)
                     segs.append(seg)
@@ -285,11 +296,18 @@ class PKIndex:
                 "rows": np.asarray(rows, np.int64),
             }
             blk_meta = []
-            for bi, b in enumerate(self._blocks):
+            bi = 0
+            for b in self._blocks:
+                if max_lsn is not None and (
+                    b.seg_id == MEMTABLE_SEG
+                    or (len(b.lsns) and int(b.lsns[0]) > max_lsn)
+                ):
+                    continue  # uncommitted bulk batch — volatile by design
                 sections[f"blk{bi}.ids"] = b.ids
                 sections[f"blk{bi}.rows"] = b.rows
                 sections[f"blk{bi}.lsns"] = b.lsns
                 blk_meta.append(b.seg_id)
+                bi += 1
         return container.pack_container(
             {"kind": "pk_checkpoint", "entries": len(ids), "blocks": blk_meta},
             sections,

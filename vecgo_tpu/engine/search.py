@@ -47,8 +47,12 @@ _MAX_SLOTS = 64
 # Extra merged candidates beyond fetch_k: headroom for entries dropped by the
 # MVCC visibility check / dirty-id dedup on churned ids. Kept tight: the
 # packed [2, B, fetch_k+margin] result transfer is the engine's throughput
-# bound on slow links (the dev tunnel moves D2H at ~10 MB/s).
+# bound on slow links (the dev tunnel moves D2H at ~10 MB/s). Under churn the
+# margin scales with the dirty-id count (each dirty id can surface one stale
+# physical row per source in the merge window); past _VIS_MARGIN_CAP the
+# planner falls back to the full-width merge instead of growing the transfer.
 _VIS_MARGIN = 6
+_VIS_MARGIN_CAP = 64
 
 # Pipelined search chunk (queries per device program).
 CHUNK_B = 1024
@@ -82,6 +86,19 @@ def can_prune_segment(stats: dict, fs) -> bool:
                 return True
         elif st["kind"] == "str":
             if flt.op == Op.EQ and st.get("bloom"):
+                if not bloom_may_contain(st["bloom"], str(flt.value)):
+                    return True
+            if flt.op == Op.IN and st.get("bloom"):
+                if not any(bloom_may_contain(st["bloom"], str(v)) for v in flt.value):
+                    return True
+        elif st["kind"] == "bool":
+            if flt.op == Op.EQ:
+                if bool(flt.value) and st.get("true", 1) == 0:
+                    return True
+                if not bool(flt.value) and st.get("false", 1) == 0:
+                    return True
+        elif st["kind"] == "arr":
+            if flt.op == Op.CONTAINS and st.get("bloom"):
                 if not bloom_may_contain(st["bloom"], str(flt.value)):
                     return True
             if flt.op == Op.IN and st.get("bloom"):
@@ -316,11 +333,11 @@ def _merge_jit(widths: tuple, out_w: int):
     return _merge
 
 
-def _merge_device(reranked, fetch_k: int):
+def _merge_device(reranked, fetch_k: int, margin: int = _VIS_MARGIN):
     """Sort every source's candidates on device; return packed [2, B, W]
     (f32-bits-as-i32 distances, coded slot<<25|row locations)."""
     widths = tuple(int(r[2].shape[1]) for r in reranked)
-    out_w = min(sum(widths), fetch_k + _VIS_MARGIN)
+    out_w = min(sum(widths), fetch_k + margin)
     fn = _merge_jit(widths, out_w)
     parts = [d for _, d, _ in reranked] + [rows for _, _, rows in reranked]
     return fn(*parts), out_w
@@ -465,7 +482,13 @@ def search_snapshot(
             stats.total_time_s = time.perf_counter() - t0
         return empty_ids, empty_d, [[] for _ in range(b)], stats
 
-    coded = _coded_mergeable(plan)
+    # Churn-aware merge width: every dirty (multi-version) id can surface one
+    # stale row per source inside the merge window, silently displacing valid
+    # neighbors if the margin is fixed. Scale the margin with the dirty count;
+    # past the cap, take the full-width merge path instead.
+    dirty_n = len(pk.dirty_sorted())
+    vis_margin = max(_VIS_MARGIN, min(dirty_n, _VIS_MARGIN_CAP))
+    coded = _coded_mergeable(plan) and dirty_n <= _VIS_MARGIN_CAP
     slot_seg_ids = [s.seg_id for s in plan.sources]
 
     # ---- dispatch all chunks (device, async), then ONE stacked drain ----
@@ -478,7 +501,7 @@ def search_snapshot(
         dist_comps += dc
         nodes_visited += nv
         if coded:
-            packed, _ = _merge_device(reranked, fetch_k)
+            packed, _ = _merge_device(reranked, fetch_k, vis_margin)
             chunks.append(packed)
         else:
             chunks.append(reranked)

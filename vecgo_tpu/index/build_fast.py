@@ -379,8 +379,14 @@ def _membership_scatter(assign, dists, k: int, cmax: int):
     # quantiles nearest-first (thresholds from a device quantile of the slot-0
     # distances; coarse is fine — priority only matters between waves).
     waves = 4
-    qs = jnp.quantile(
-        dists[:, 0].astype(jnp.float32),
+    # Quantiles over VALID rows only: both callers route padded rows to the
+    # dump cluster (assign == k-1) and their dists are +inf or zero-vector
+    # artifacts; near a block boundary padding approaches 50% of rows and
+    # would skew the wave thresholds badly.
+    d0 = dists[:, 0].astype(jnp.float32)
+    row_valid = (assign[:, 0] < (k - 1)) & jnp.isfinite(d0)
+    qs = jnp.nanquantile(
+        jnp.where(row_valid, d0, jnp.nan),
         jnp.asarray([0.25, 0.5, 0.75], jnp.float32),
     )
     bucket = (
@@ -540,8 +546,9 @@ def build_graph_clustered(
     # trade build time against refine/legacy quality only. knn=24 per
     # membership (2 overlap clusters -> 48 union) and a half-degree reverse
     # cap keep recall-with-refinement >= 0.97 while cutting the top-k and
-    # prune costs ~30%.
-    knn = knn or min(max(r, 24), 24)
+    # prune costs ~30%. Widths must still scale with the output degree r:
+    # pruning from a pool narrower than r silently degrades graphs at r > 24.
+    knn = knn or max(24, r)
     rev_cap = rev_cap or max(r // 2, 8)
     overlap = max(1, min(overlap, 4))
 
@@ -717,7 +724,9 @@ def build_graph_clustered(
     # diversification discards the near-duplicates descent climbs through.
     # (On truly uniform high-d data descent stalls — neighbors-of-neighbors
     # locality doesn't hold; `restarts` is the lever there.)
-    kw = 48  # working-list width; prune consumes the top-48 + random far edges
+    # Working-list width; prune consumes the top-kw + random far edges.
+    # Scales with r so the prune pool is never narrower than the out-degree.
+    kw = max(48, int(1.5 * r))
     hop_a, hop_b = min(16, kw), max(1, hop2 // 16)
 
     def _retry(make, tag):

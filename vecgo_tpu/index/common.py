@@ -240,3 +240,114 @@ def csr_lookup(data: Optional[np.ndarray], indptr: Optional[np.ndarray], row: in
     if e <= s:
         return None
     return data[s:e].tobytes()
+
+
+class RowBlobAccess:
+    """Shared docs/payload CSR access for immutable segments, with optional
+    LAZY materialization: remote (ranged-read) opens skip the docs/payload
+    sections entirely; the first doc()/payload() touch pulls each section with
+    one ranged read (reference: diskann payload stream read-on-Fetch,
+    segment.go Fetch*; lazy block reads :1151)."""
+
+    def _attach_row_blobs(self, sections, lazy=None):
+        self._lazy = lazy
+        self._payload_data = sections.get("payload.data")
+        self._payload_indptr = sections.get("payload.indptr")
+        self._docs_data = sections.get("docs.data")
+        self._docs_indptr = sections.get("docs.indptr")
+        self._doc_cache = {}
+
+    def _ensure_blob(self, prefix: str) -> None:
+        if (
+            getattr(self, f"_{prefix}_data") is None
+            and self._lazy is not None
+            and self._lazy.has(f"{prefix}.data")
+        ):
+            setattr(self, f"_{prefix}_data", self._lazy.load(f"{prefix}.data"))
+            setattr(self, f"_{prefix}_indptr", self._lazy.load(f"{prefix}.indptr"))
+
+    def payload(self, row: int) -> Optional[bytes]:
+        self._ensure_blob("payload")
+        return csr_lookup(self._payload_data, self._payload_indptr, row)
+
+    def doc(self, row: int) -> Optional[dict]:
+        cached = self._doc_cache.get(row, False)
+        if cached is not False:
+            return cached
+        d = self._doc_uncached(row)
+        if len(self._doc_cache) > 65536:
+            self._doc_cache.clear()
+        self._doc_cache[row] = d
+        return d
+
+    def _doc_uncached(self, row: int) -> Optional[dict]:
+        self._ensure_blob("docs")
+        if self._docs_data is not None:
+            s, e = self._docs_indptr[row], self._docs_indptr[row + 1]
+            if e > s:
+                return json.loads(self._docs_data[s:e].tobytes())
+            return None
+        return self.cm.doc(row)
+
+
+def csr_select(data, indptr, rows: np.ndarray):
+    """CSR row gather for byte-blob sections; (None, None) stays absent."""
+    from vecgo_tpu.metadata.columnar import _csr_take
+
+    if data is None:
+        return None, None
+    return _csr_take(np.asarray(data), np.asarray(indptr), np.asarray(rows, np.int64))
+
+
+def csr_concat(parts):
+    """Concat CSR parts [(data|None, indptr|None, n_rows)]; returns
+    (data, indptr) or (None, None) when every part is empty."""
+    lens, datas = [], []
+    any_data = False
+    for data, indptr, n in parts:
+        if data is None:
+            lens.append(np.zeros(n, np.int64))
+        else:
+            lens.append(np.diff(np.asarray(indptr)).astype(np.int64))
+            datas.append(np.asarray(data))
+            any_data = any_data or len(data) > 0
+    if not any_data:
+        return None, None
+    lens = np.concatenate(lens)
+    indptr = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=indptr[1:])
+    data = np.concatenate(datas) if datas else np.zeros(0, np.uint8)
+    return data, indptr
+
+
+def preset_row_sections(x: np.ndarray, ids: np.ndarray, lsns, preset, order=None):
+    """row_sections twin for the compaction SLAB path: docs/payload CSR and
+    columnar metadata arrive pre-merged (vectorized) instead of per-row
+    Python objects (VERDICT r2 #8 — at 1M rows the per-row json.loads path
+    costs minutes; slabs move in milliseconds).
+
+    preset = (ColumnarMeta, (docs_data, docs_indptr), (pay_data, pay_indptr))
+    aligned with add order; `order` (writer row permutation, e.g. flat IVF
+    reorder) is applied to every row-aligned structure."""
+    cm, docs_csr, pay_csr = preset
+    if order is not None:
+        cm = cm.select(order)
+        docs_csr = csr_select(docs_csr[0], docs_csr[1], order)
+        pay_csr = csr_select(pay_csr[0], pay_csr[1], order)
+    sections: Dict[str, np.ndarray] = {
+        "vectors": x,
+        "rnorm2": np.einsum("nd,nd->n", x, x, dtype=np.float64).astype(np.float32),
+        "ids": ids,
+        "lsns": np.asarray(
+            lsns if lsns is not None else np.zeros(len(ids)), np.int64
+        ),
+    }
+    md_meta, md_sections = cm.to_sections()
+    sections.update(md_sections)
+    if pay_csr[0] is not None:
+        sections["payload.data"] = np.asarray(pay_csr[0], np.uint8)
+        sections["payload.indptr"] = pay_csr[1]
+    if docs_csr[0] is not None:
+        sections["docs.data"] = np.asarray(docs_csr[0], np.uint8)
+        sections["docs.indptr"] = docs_csr[1]
+    return sections, md_meta, cm

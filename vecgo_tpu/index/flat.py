@@ -56,6 +56,7 @@ class FlatWriter:
         self.train_sample = train_sample
         self.seed = seed
         self._rows = common.RowBuffer(dim)
+        self._preset = None
 
     def add(self, vector, id: int, metadata=None, payload: Optional[bytes] = None,
             lsn: int = 0):
@@ -63,6 +64,12 @@ class FlatWriter:
 
     def add_batch(self, vectors, ids, metadatas=None, payloads=None, lsns=None):
         self._rows.add_batch(vectors, ids, metadatas, payloads, lsns)
+
+    def set_preset_rows(self, cm, docs_csr, payload_csr) -> None:
+        """Compaction slab path: docs/payload/metadata arrive pre-merged and
+        aligned with the add order; finish() skips the per-row doc pipeline
+        (see common.preset_row_sections)."""
+        self._preset = (cm, docs_csr, payload_csr)
 
     @property
     def row_count(self) -> int:
@@ -75,6 +82,7 @@ class FlatWriter:
         # --- IVF partitioning: reorder rows by nearest centroid ---
         ivf_centroids = None
         ivf_part = None
+        order = None
         if self.ivf_partitions > 1 and n > self.ivf_partitions:
             from vecgo_tpu.quantization import kmeans as km
 
@@ -88,9 +96,14 @@ class FlatWriter:
             ivf_part = assign[order].astype(np.int32)
 
         x, ids = self._rows.stacked(self.metric)
-        sections, md_meta, cm = common.row_sections(
-            x, ids, self._rows.docs, self._rows.payloads, self._rows.lsns
-        )
+        if self._preset is not None:
+            sections, md_meta, cm = common.preset_row_sections(
+                x, ids, self._rows.lsns, self._preset, order=order
+            )
+        else:
+            sections, md_meta, cm = common.row_sections(
+                x, ids, self._rows.docs, self._rows.payloads, self._rows.lsns
+            )
 
         # --- quantization (full-precision vectors always kept for rerank) ---
         quant = Q.create(self.quantizer_kind, dim=self.dim, **self.qparams)
@@ -159,6 +172,27 @@ def segment_stats(x: np.ndarray, cm: ColumnarMeta) -> dict:
                 "present": int(present.sum()),
                 "bloom": _bloom(cm.str_values[f]),
             }
+    # Bool and array fields: presence + value bloom (arrays). Without these
+    # entries can_prune_segment would treat the field as absent-everywhere and
+    # wrongly prune the whole segment for EQ/CONTAINS filters on it.
+    for f, col in cm.bools.items():
+        present = col >= 0
+        if present.any():
+            fields[f] = {
+                "kind": "bool",
+                "true": int((col == 1).sum()),
+                "false": int((col == 0).sum()),
+                "present": int(present.sum()),
+            }
+    for f, indptr in cm.arr_indptr.items():
+        nnz = int(indptr[-1]) if len(indptr) else 0
+        if nnz:
+            vals = [str(v) for v in cm.arr_values[f]]
+            fields[f] = {
+                "kind": "arr",
+                "present": int((np.diff(indptr) > 0).sum()),
+                "bloom": _bloom(vals),
+            }
     stats["fields"] = fields
     return stats
 
@@ -188,10 +222,16 @@ def bloom_may_contain(bloom_hex: str, value: str, bits: int = 256, hashes: int =
     return True
 
 
-class FlatSegment:
+class FlatSegment(common.RowBlobAccess):
     """Immutable flat segment: host arrays + lazily-built device state."""
 
-    def __init__(self, meta: dict, sections: Dict[str, np.ndarray], seg_id: int = 0):
+    def __init__(
+        self,
+        meta: dict,
+        sections: Dict[str, np.ndarray],
+        seg_id: int = 0,
+        lazy=None,  # storage.container.LazyContainer for deferred docs/payload
+    ):
         if meta.get("kind") != SEGMENT_KIND:
             raise ErrCorrupt(f"not a flat segment: kind={meta.get('kind')!r}")
         self.meta = meta
@@ -218,11 +258,7 @@ class FlatSegment:
         self.ivf_centroids = sections.get("ivf.centroids")
         self.ivf_part = sections.get("ivf.part")
         self.cm = ColumnarMeta.from_sections(meta["metadata"], sections)
-        self._payload_data = sections.get("payload.data")
-        self._payload_indptr = sections.get("payload.indptr")
-        self._docs_data = sections.get("docs.data")
-        self._docs_indptr = sections.get("docs.indptr")
-        self._doc_cache = {}
+        self._attach_row_blobs(sections, lazy)
         self._dev: Optional[dict] = None
         self._score_fn = None
         self._rerank_fn = None
@@ -234,6 +270,20 @@ class FlatSegment:
         meta, sections = container.unpack_container(data, verify_checksum, copy=False)
         try:
             return FlatSegment(meta, sections, seg_id)
+        except ErrCorrupt:
+            raise
+        except Exception as e:
+            raise ErrCorrupt(f"flat segment open failed: {e}")
+
+    @staticmethod
+    def open_lazy(store, name: str, seg_id: int = 0, verify_checksum: bool = True) -> "FlatSegment":
+        """Remote open: header + hot sections via ranged reads; docs/payload
+        stay on the object store until first touched (O(header+hot), not
+        O(object) — reference: diskann lazy reads segment.go:1151)."""
+        lc = container.LazyContainer(store, name, verify_checksum)
+        sections = lc.load_many(exclude_prefixes=("docs.", "payload."))
+        try:
+            return FlatSegment(lc.meta, sections, seg_id, lazy=lc)
         except ErrCorrupt:
             raise
         except Exception as e:
@@ -439,31 +489,7 @@ class FlatSegment:
     def filter_mask(self, f) -> np.ndarray:
         return self.cm.filter_mask(f)
 
-    def payload(self, row: int) -> Optional[bytes]:
-        if self._payload_data is None:
-            return None
-        s, e = self._payload_indptr[row], self._payload_indptr[row + 1]
-        if e <= s:
-            return None
-        return self._payload_data[s:e].tobytes()
-
-    def doc(self, row: int) -> Optional[dict]:
-        cached = self._doc_cache.get(row, False)
-        if cached is not False:
-            return cached
-        d = self._doc_uncached(row)
-        if len(self._doc_cache) > 65536:
-            self._doc_cache.clear()
-        self._doc_cache[row] = d
-        return d
-
-    def _doc_uncached(self, row: int) -> Optional[dict]:
-        if self._docs_data is not None:
-            s, e = self._docs_indptr[row], self._docs_indptr[row + 1]
-            if e > s:
-                return json.loads(self._docs_data[s:e].tobytes())
-            return None
-        return self.cm.doc(row)
+    # payload() / doc() provided by common.RowBlobAccess (lazy-aware).
 
     def vector(self, row: int) -> np.ndarray:
         return self.vectors[row]

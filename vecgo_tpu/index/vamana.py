@@ -310,6 +310,7 @@ class VamanaWriter:
         self.qparams = dict(qparams or {})
         self.seed = seed
         self._rows = common.RowBuffer(dim)
+        self._preset = None
 
     def add(self, vector, id: int, metadata=None, payload: Optional[bytes] = None,
             lsn: int = 0):
@@ -317,6 +318,10 @@ class VamanaWriter:
 
     def add_batch(self, vectors, ids, metadatas=None, payloads=None, lsns=None):
         self._rows.add_batch(vectors, ids, metadatas, payloads, lsns)
+
+    def set_preset_rows(self, cm, docs_csr, payload_csr) -> None:
+        """Compaction slab path (see FlatWriter.set_preset_rows)."""
+        self._preset = (cm, docs_csr, payload_csr)
 
     @property
     def row_count(self) -> int:
@@ -337,9 +342,14 @@ class VamanaWriter:
                 x, r=self.r, l_build=self.l_build, alpha=self.alpha,
                 seed=self.seed, **self.build_params,
             )
-        sections, md_meta, cm = common.row_sections(
-            x, ids, self._rows.docs, self._rows.payloads, self._rows.lsns
-        )
+        if self._preset is not None:
+            sections, md_meta, cm = common.preset_row_sections(
+                x, ids, self._rows.lsns, self._preset
+            )
+        else:
+            sections, md_meta, cm = common.row_sections(
+                x, ids, self._rows.docs, self._rows.payloads, self._rows.lsns
+            )
         sections["graph"] = graph
         sections["entry.centroids"] = centroids
         sections["entry.nodes"] = entry_nodes
@@ -388,12 +398,18 @@ class VamanaWriter:
         return container.pack_container(meta, sections, compress=self.compress or None)
 
 
-class VamanaSegment:
+class VamanaSegment(common.RowBlobAccess):
     """Immutable graph segment (reference: diskann.Segment, segment.go:92)."""
 
     DEFAULT_EF_SEARCH = 64
 
-    def __init__(self, meta: dict, sections: Dict[str, np.ndarray], seg_id: int = 0):
+    def __init__(
+        self,
+        meta: dict,
+        sections: Dict[str, np.ndarray],
+        seg_id: int = 0,
+        lazy=None,  # storage.container.LazyContainer for deferred docs/payload
+    ):
         if meta.get("kind") != SEGMENT_KIND:
             raise ErrCorrupt(f"not a vamana segment: kind={meta.get('kind')!r}")
         self.meta = meta
@@ -415,11 +431,7 @@ class VamanaSegment:
         self.ivf_members: Optional[np.ndarray] = sections.get("ivf.members")
         self.ivf_centroids: Optional[np.ndarray] = sections.get("ivf.centroids")
         self.cm = ColumnarMeta.from_sections(meta["metadata"], sections)
-        self._payload_data = sections.get("payload.data")
-        self._payload_indptr = sections.get("payload.indptr")
-        self._docs_data = sections.get("docs.data")
-        self._docs_indptr = sections.get("docs.indptr")
-        self._doc_cache = {}
+        self._attach_row_blobs(sections, lazy)
         self._dev = None
         self._rerank_fn = None
 
@@ -428,6 +440,19 @@ class VamanaSegment:
         meta, sections = container.unpack_container(data, verify_checksum, copy=False)
         try:
             return VamanaSegment(meta, sections, seg_id)
+        except ErrCorrupt:
+            raise
+        except Exception as e:
+            raise ErrCorrupt(f"vamana segment open failed: {e}")
+
+    @staticmethod
+    def open_lazy(store, name: str, seg_id: int = 0, verify_checksum: bool = True) -> "VamanaSegment":
+        """Remote open via ranged reads; docs/payload sections deferred
+        (reference: diskann lazy block reads segment.go:1151)."""
+        lc = container.LazyContainer(store, name, verify_checksum)
+        sections = lc.load_many(exclude_prefixes=("docs.", "payload."))
+        try:
+            return VamanaSegment(lc.meta, sections, seg_id, lazy=lc)
         except ErrCorrupt:
             raise
         except Exception as e:
@@ -645,24 +670,7 @@ class VamanaSegment:
     def filter_mask(self, f) -> np.ndarray:
         return self.cm.filter_mask(f)
 
-    def payload(self, row: int) -> Optional[bytes]:
-        return common.csr_lookup(self._payload_data, self._payload_indptr, row)
-
-    def doc(self, row: int) -> Optional[dict]:
-        cached = self._doc_cache.get(row, False)
-        if cached is not False:
-            return cached
-        d = self._doc_uncached(row)
-        if len(self._doc_cache) > 65536:
-            self._doc_cache.clear()
-        self._doc_cache[row] = d
-        return d
-
-    def _doc_uncached(self, row: int) -> Optional[dict]:
-        if self._docs_data is not None:
-            raw = common.csr_lookup(self._docs_data, self._docs_indptr, row)
-            return json.loads(raw) if raw else None
-        return self.cm.doc(row)
+    # payload() / doc() provided by common.RowBlobAccess (lazy-aware).
 
     def vector(self, row: int) -> np.ndarray:
         return self.vectors[row]

@@ -121,6 +121,112 @@ class ColumnarMeta:
             self.arr_codes[fname] = np.asarray(flat, np.int32)
             self.arr_values[fname] = values
 
+    # ---------------- slab ops (compaction fast path) ----------------
+
+    def field_kinds(self) -> Dict[str, str]:
+        out: Dict[str, str] = {}
+        for f in self.numeric:
+            out[f] = _NUMERIC
+        for f in self.bools:
+            out[f] = _BOOL
+        for f in self.str_codes:
+            out[f] = _STRING
+        for f in self.arr_indptr:
+            out[f] = _ARRAY
+        return out
+
+    def select(self, rows: np.ndarray) -> "ColumnarMeta":
+        """Vectorized row selection (compaction: live-row mask applied as a
+        gather, no per-row doc materialization)."""
+        rows = np.asarray(rows, np.int64)
+        cm = ColumnarMeta(len(rows))
+        for f, col in self.numeric.items():
+            cm.numeric[f] = col[rows]
+        for f, col in self.bools.items():
+            cm.bools[f] = col[rows]
+        for f, codes in self.str_codes.items():
+            cm.str_codes[f] = codes[rows]
+            cm.str_values[f] = list(self.str_values[f])
+        for f, indptr in self.arr_indptr.items():
+            data, new_indptr = _csr_take(self.arr_codes[f], indptr, rows)
+            cm.arr_indptr[f] = new_indptr
+            cm.arr_codes[f] = data
+            cm.arr_values[f] = list(self.arr_values[f])
+        if self.docs:
+            cm.docs = [self.docs[int(r)] for r in rows]
+        return cm
+
+    @staticmethod
+    def concat(parts: List["ColumnarMeta"]) -> "ColumnarMeta":
+        """Vectorized multi-segment concat with re-interning. Raises
+        ValueError on a cross-part column kind conflict (rare; callers fall
+        back to the per-row doc path)."""
+        n = sum(p.n for p in parts)
+        out = ColumnarMeta(n)
+        kinds: Dict[str, str] = {}
+        for p in parts:
+            for f, kd in p.field_kinds().items():
+                if kinds.setdefault(f, kd) != kd:
+                    raise ValueError(
+                        f"column kind conflict on field {f!r}: "
+                        f"{kinds[f]} vs {kd}"
+                    )
+        for f, kind in kinds.items():
+            if kind == _NUMERIC:
+                out.numeric[f] = np.concatenate([
+                    p.numeric.get(f, np.full(p.n, np.nan, np.float64))
+                    for p in parts
+                ])
+            elif kind == _BOOL:
+                out.bools[f] = np.concatenate([
+                    p.bools.get(f, np.full(p.n, -1, np.int8)) for p in parts
+                ])
+            elif kind == _STRING:
+                interned: Dict[str, int] = {}
+                values: List[str] = []
+                cols = []
+                for p in parts:
+                    codes = p.str_codes.get(f)
+                    if codes is None:
+                        cols.append(np.full(p.n, -1, np.int32))
+                        continue
+                    trans = np.asarray(
+                        [_intern(v, interned, values) for v in p.str_values[f]],
+                        np.int32,
+                    )
+                    cols.append(
+                        np.where(codes >= 0, trans[np.maximum(codes, 0)], -1)
+                        .astype(np.int32)
+                    )
+                out.str_codes[f] = np.concatenate(cols)
+                out.str_values[f] = values
+            else:  # _ARRAY
+                interned = {}
+                values = []
+                datas, lens = [], []
+                for p in parts:
+                    indptr = p.arr_indptr.get(f)
+                    if indptr is None:
+                        lens.append(np.zeros(p.n, np.int64))
+                        continue
+                    trans = np.asarray(
+                        [_intern(v, interned, values) for v in p.arr_values[f]],
+                        np.int32,
+                    )
+                    codes = p.arr_codes[f]
+                    datas.append(
+                        trans[codes] if len(codes) else codes.astype(np.int32)
+                    )
+                    lens.append(np.diff(indptr).astype(np.int64))
+                new_indptr = np.zeros(n + 1, np.int64)
+                np.cumsum(np.concatenate(lens), out=new_indptr[1:])
+                out.arr_indptr[f] = new_indptr
+                out.arr_codes[f] = (
+                    np.concatenate(datas) if datas else np.zeros(0, np.int32)
+                )
+                out.arr_values[f] = values
+        return out
+
     # ---------------- filtering ----------------
 
     def filter_mask(self, f) -> np.ndarray:
@@ -222,6 +328,32 @@ class ColumnarMeta:
                 cm.arr_codes[f] = np.asarray(sections[f"md.arrc.{f}"])
                 cm.arr_values[f] = list(spec["values"])
         return cm
+
+
+def _intern(v, interned: dict, values: list) -> int:
+    c = interned.get(v)
+    if c is None:
+        c = len(values)
+        interned[v] = c
+        values.append(v)
+    return c
+
+
+def _csr_take(data: np.ndarray, indptr: np.ndarray, rows: np.ndarray):
+    """Gather CSR rows: returns (data', indptr') for the selected rows."""
+    starts = indptr[rows]
+    counts = (indptr[rows + 1] - starts).astype(np.int64)
+    new_indptr = np.zeros(len(rows) + 1, np.int64)
+    np.cumsum(counts, out=new_indptr[1:])
+    total = int(new_indptr[-1])
+    if total == 0:
+        return data[:0], new_indptr
+    idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(new_indptr[:-1], counts)
+        + np.repeat(starts.astype(np.int64), counts)
+    )
+    return data[idx], new_indptr
 
 
 def _classify(v) -> Optional[str]:

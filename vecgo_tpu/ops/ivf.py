@@ -58,6 +58,34 @@ class IVFDeviceTable(NamedTuple):
     cnorm2: jax.Array  # [K] f32, +inf for empty/padded clusters
 
 
+class IVFCodedTable(NamedTuple):
+    """SQ8-residual blocked layout: the SERVING-memory representation.
+
+    The reference's DiskANN core serves from quantized codes with only codes
+    resident (segment.go:503-708, per-vector costs doc.go:52-59); this is the
+    TPU analogue. Residuals (x - centroid) are int8-coded with a per-cluster
+    scale — the scan streams 1 byte/dim (2x the bf16 table's bandwidth) and
+    the table is the ONLY vector data in HBM: graph refinement and rerank
+    both score codes through `slot_of_row` gathers, so the bf16/f32 full
+    copies of round 2 are gone (8-9 bytes/dim/row -> ~1.4-2.8 + graph).
+
+    Distances are vs the DECODED vector x̂ = c + s*code, computed by exact
+    identity |q-x̂|² = |q-c|² + |x̂-c|² - 2(q-c)·(x̂-c); with residual
+    |x̂-c| ~ cluster radius, the int8 step is radius/127 — ranking error far
+    below bf16-on-raw-vectors. Final exact-on-x ranking, when required,
+    reranks the tiny top-k window host-side (index/common.rerank_host_rows).
+    """
+
+    codes: jax.Array  # [K, S, d] int8 residual codes, padding zero
+    scale: jax.Array  # [K] f32 dequant scale (max|res| / 127 per cluster)
+    bnorm2: jax.Array  # [K, S] f32 |x̂ - c|² (decoded), +inf at padded slots
+    xnorm2: jax.Array  # [K, S] f32 |x̂|² (decoded absolute), +inf padded
+    rows: jax.Array  # [K, S] int32 segment row per slot, -1 padded
+    slot_of_row: jax.Array  # [N] int32 a slot containing each row
+    centroids: jax.Array  # [K, d] f32 (member means)
+    cnorm2: jax.Array  # [K] f32, +inf for empty/padded clusters
+
+
 # ---------------------------------------------------------------------------
 # Build
 # ---------------------------------------------------------------------------
@@ -131,7 +159,9 @@ def build_ivf_table(
         xb = np.concatenate([xb, np.zeros((n_pad - n, d), ml_dtypes.bfloat16)])
     rn = np.full(n_pad, np.inf, np.float32)
     rn[:n] = np.einsum("nd,nd->n", x, x, dtype=np.float64).astype(np.float32)
-    ov = max(1, min(overlap, 4))
+    # Clamp overlap to the trained cluster count: with small n / large
+    # capacity, k can drop below 4 and lax.top_k(k=ov) over [N, k] would fail.
+    ov = max(1, min(overlap, 4, k))
     a_dev, d_dev = _assign_topk_full(
         jnp.asarray(xb), jnp.asarray(rn), jnp.asarray(centroids), ov, block
     )
@@ -243,6 +273,84 @@ def device_table(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("group",))
+def _coded_build(mdev, x16, *, group: int):
+    """Encode the blocked SQ8-residual layout (scan over cluster groups keeps
+    the f32 transient at O(group*S*d)). Centroids = member MEANS — the Lloyd
+    update of whatever assignment produced `members`, so no second k-means is
+    ever needed (VERDICT r2 #4: the round-2 serving table redid k-means +
+    full assignment, 92.5 s at 1M)."""
+    k_pad, s = mdev.shape
+    n, d = x16.shape
+    ngroups = k_pad // group
+    m_g = mdev.reshape(ngroups, group, s)
+
+    def body(_, mg):
+        valid = mg >= 0
+        v = jnp.take(x16, jnp.maximum(mg, 0).reshape(-1), axis=0).reshape(
+            group, s, d
+        ).astype(jnp.float32)
+        v = jnp.where(valid[:, :, None], v, 0.0)
+        cnt = jnp.sum(valid, axis=1).astype(jnp.float32)  # [g]
+        cent = jnp.sum(v, axis=1) / jnp.maximum(cnt, 1.0)[:, None]  # [g, d]
+        res = jnp.where(valid[:, :, None], v - cent[:, None, :], 0.0)
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(res), axis=(1, 2)) / 127.0, 1e-12
+        )  # [g]
+        codes = jnp.clip(
+            jnp.round(res / scale[:, None, None]), -127, 127
+        ).astype(jnp.int8)
+        res_hat = codes.astype(jnp.float32) * scale[:, None, None]
+        bn = jnp.where(valid, jnp.sum(res_hat * res_hat, axis=-1), jnp.inf)
+        xhat = cent[:, None, :] + res_hat
+        xn = jnp.where(valid, jnp.sum(xhat * xhat, axis=-1), jnp.inf)
+        cn = jnp.where(cnt > 0, jnp.sum(cent * cent, axis=-1), jnp.inf)
+        return None, (codes, scale, bn, xn, cent, cn)
+
+    _, (codes, scale, bn, xn, cent, cn) = jax.lax.scan(body, None, m_g)
+    codes = codes.reshape(k_pad, s, d)
+    # slot_of_row: one slot per row (later writes win; overlap rows keep any).
+    flat_rows = mdev.reshape(-1)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (k_pad * s,), 0)
+    target = jnp.where(flat_rows >= 0, flat_rows, n)
+    slot_of_row = (
+        jnp.zeros((n + 1,), jnp.int32).at[target].set(slot_ids, mode="drop")[:n]
+    )
+    return IVFCodedTable(
+        codes=codes,
+        scale=scale.reshape(-1),
+        bnorm2=bn.reshape(k_pad, s),
+        xnorm2=xn.reshape(k_pad, s),
+        rows=mdev,
+        slot_of_row=slot_of_row,
+        centroids=cent.reshape(k_pad, d),
+        cnorm2=cn.reshape(-1),
+    )
+
+
+def device_table_coded(
+    members: np.ndarray,
+    vectors_dev: jax.Array,  # [N, d] float (bf16 fine; encode reads f32)
+    group: int = 8,
+) -> IVFCodedTable:
+    """Materialize the SQ8-residual serving table from a membership table
+    (typically the graph build's own partition — build_fast
+    build_graph_clustered(return_membership=True))."""
+    k, s = members.shape
+    k_pad = ((k + group - 1) // group) * group
+    if k_pad > k:
+        if isinstance(members, jax.Array):
+            members = jnp.pad(
+                members, ((0, k_pad - k), (0, 0)), constant_values=-1
+            )
+        else:
+            m = np.full((k_pad, s), -1, np.int32)
+            m[:k] = members
+            members = m
+    mdev = members if isinstance(members, jax.Array) else jnp.asarray(members)
+    return _coded_build(mdev, vectors_dev, group=group)
+
+
 # ---------------------------------------------------------------------------
 # Search
 # ---------------------------------------------------------------------------
@@ -280,7 +388,10 @@ def _invert_probes(probes, k_pad: int, qcap: int):
 
 
 def ivf_scan(q, table, *, n_probe, kk, qcap=0, group=8, mask_flat=None):
-    """Guarded jitted entry (see _ivf_scan; containment in utils/devbug.py)."""
+    """Guarded jitted entry (see _ivf_scan; containment in utils/devbug.py).
+
+    Accepts either table layout: IVFDeviceTable (bf16 residuals) or
+    IVFCodedTable (SQ8 residual codes — the serving-memory default)."""
     from vecgo_tpu.utils.devbug import dispatch_guarded
 
     b = q.shape[0]
@@ -294,16 +405,19 @@ def ivf_scan(q, table, *, n_probe, kk, qcap=0, group=8, mask_flat=None):
         # (measured at 1M/B=4096: qcap 224 -> 112 doubled QPS).
         qcap = max(32, ((3 * b * n_probe // max(k_pad, 1)) + 31) // 32 * 32)
     qcap = min(qcap, b)
+    coded = isinstance(table, IVFCodedTable)
     if mask_flat is not None:
+        fn = _ivf_scan_coded if coded else _ivf_scan
         return dispatch_guarded(
             functools.partial(
-                _ivf_scan, n_probe=n_probe, kk=kk, qcap=qcap, group=group
+                fn, n_probe=n_probe, kk=kk, qcap=qcap, group=group
             ),
             q, table, mask_flat,
         )
+    fn = _ivf_scan_coded_nomask if coded else _ivf_scan_nomask
     return dispatch_guarded(
         functools.partial(
-            _ivf_scan_nomask, n_probe=n_probe, kk=kk, qcap=qcap, group=group
+            fn, n_probe=n_probe, kk=kk, qcap=qcap, group=group
         ),
         q, table,
     )
@@ -320,6 +434,21 @@ def _ivf_scan_nomask(q, table, *, n_probe, kk, qcap, group):
     jax.jit, static_argnames=("n_probe", "kk", "qcap", "group")
 )
 def _ivf_scan(q, table, mask_flat, *, n_probe, kk, qcap, group):
+    return _ivf_scan_body(q, table, mask_flat, n_probe, kk, qcap, group)
+
+
+# Separate jit objects for the coded layout (per-variant jits: devbug.py).
+@functools.partial(
+    jax.jit, static_argnames=("n_probe", "kk", "qcap", "group")
+)
+def _ivf_scan_coded_nomask(q, table, *, n_probe, kk, qcap, group):
+    return _ivf_scan_body(q, table, None, n_probe, kk, qcap, group)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_probe", "kk", "qcap", "group")
+)
+def _ivf_scan_coded(q, table, mask_flat, *, n_probe, kk, qcap, group):
     return _ivf_scan_body(q, table, mask_flat, n_probe, kk, qcap, group)
 
 
@@ -358,9 +487,16 @@ def _ivf_scan_body(
     # 2. invert to per-cluster query lists
     qtab, qslot = _invert_probes(probes, k_pad, qcap)
 
-    # 3. grouped scan over clusters (residual scoring — see IVFDeviceTable)
+    # 3. grouped scan over clusters (residual scoring — see IVFDeviceTable /
+    #    IVFCodedTable; the coded branch streams int8 and rescales the matmul)
+    coded = isinstance(table, IVFCodedTable)
     ngroups = k_pad // group
-    blocks_g = table.blocks.reshape(ngroups, group, s, d)
+    if coded:
+        blocks_g = table.codes.reshape(ngroups, group, s, d)
+        scale_g = table.scale.reshape(ngroups, group)
+    else:
+        blocks_g = table.blocks.reshape(ngroups, group, s, d)
+        scale_g = None
     bn_g = table.bnorm2.reshape(ngroups, group, s)
     cent_g = table.centroids.reshape(ngroups, group, d)
     qtab_g = qtab.reshape(ngroups, group, qcap)
@@ -378,18 +514,20 @@ def _ivf_scan_body(
 
     def body(carry, inputs):
         out_d, out_r = carry
-        if mask_g is None:
-            gi, xblk, bn, cent, qt, qs = inputs
-            mblk = None
-        else:
-            gi, xblk, bn, cent, qt, qs, mblk = inputs
+        inputs = list(inputs)
+        mblk = inputs.pop() if mask_g is not None else None
+        sc = inputs.pop() if coded else None
+        gi, xblk, bn, cent, qt, qs = inputs
         qv = jnp.take(q_ext, qt.reshape(-1), axis=0).reshape(group, qcap, d)
         qr = qv - cent[:, None, :]  # f32 residual per (cluster, query)
         qrn = jnp.sum(qr * qr, axis=-1)  # [g, qcap]
         prod = jnp.einsum(
-            "gqd,gsd->gqs", qr.astype(jnp.bfloat16), xblk,
+            "gqd,gsd->gqs", qr.astype(jnp.bfloat16),
+            xblk.astype(jnp.bfloat16) if coded else xblk,
             preferred_element_type=jnp.float32,
         )
+        if coded:
+            prod = prod * sc[:, None, None]
         dd = qrn[:, :, None] + bn[:, None, :] - 2.0 * prod  # [g, qcap, S]
         if mblk is not None:
             dd = jnp.where(mblk[:, None, :], dd, jnp.inf)
@@ -405,16 +543,13 @@ def _ivf_scan_body(
         out_r = out_r.at[qt, qs].set(lrow, mode="drop")
         return (out_d, out_r), None
 
-    xs = (
-        (jnp.arange(ngroups, dtype=jnp.int32), blocks_g, bn_g, cent_g,
-         qtab_g, qslot_g)
-        if mask_g is None
-        else (
-            jnp.arange(ngroups, dtype=jnp.int32), blocks_g, bn_g, cent_g,
-            qtab_g, qslot_g, mask_g,
-        )
-    )
-    (out_d, out_r), _ = jax.lax.scan(body, (out_d0, out_r0), xs)
+    xs = [jnp.arange(ngroups, dtype=jnp.int32), blocks_g, bn_g, cent_g,
+          qtab_g, qslot_g]
+    if coded:
+        xs.append(scale_g)
+    if mask_g is not None:
+        xs.append(mask_g)
+    (out_d, out_r), _ = jax.lax.scan(body, (out_d0, out_r0), tuple(xs))
     out_d = out_d[:b].reshape(b, n_probe * kk)
     out_r = out_r[:b].reshape(b, n_probe * kk)
     # Map flat slot ids -> segment rows (dedup happens downstream; overlap
@@ -435,8 +570,10 @@ def slot_mask_from_rows(table: IVFDeviceTable, row_mask) -> jax.Array:
 
 __all__ = [
     "IVFDeviceTable",
+    "IVFCodedTable",
     "build_ivf_table",
     "device_table",
+    "device_table_coded",
     "ivf_scan",
     "slot_mask_from_rows",
 ]

@@ -126,6 +126,92 @@ def parse_header(data) -> Tuple[dict, list]:
     return meta, entries
 
 
+def _decode_section(e: dict, raw, verify_checksum: bool, copy: bool) -> np.ndarray:
+    """Decode one section payload (shared by unpack_container / LazyContainer)."""
+    name = e.get("name")
+    nbytes = len(raw)
+    if verify_checksum and (zlib.crc32(raw) & 0xFFFFFFFF) != e["crc32"]:
+        raise ErrCorrupt(f"section {name} checksum mismatch")
+    if e.get("compression") == "deflate":
+        raw = zlib.decompress(bytes(raw))
+        nbytes = len(raw)
+        if nbytes != int(e.get("raw_nbytes", -1)):
+            raise ErrCorrupt(f"section {name} decompressed size mismatch")
+    elif e.get("compression"):
+        raise ErrCorrupt(f"section {name}: unknown compression")
+    dtype = np.dtype(e["dtype"])
+    shape = tuple(int(s) for s in e["shape"])
+    expect = int(np.prod(shape, dtype=np.int64)) * dtype.itemsize if shape else dtype.itemsize
+    if any(s < 0 for s in shape) or expect != nbytes:
+        raise ErrCorrupt(f"section {name} shape/nbytes mismatch")
+    arr = np.frombuffer(raw, dtype=dtype).reshape(shape)
+    return arr.copy() if copy else arr
+
+
+class LazyContainer:
+    """Header-parsed handle over a stored blob: sections load ON DEMAND via
+    ranged reads — opening a remote segment costs O(header + touched
+    sections), not O(object) (reference: diskann lazy block reads
+    segment.go:1151 through the (file, offset)-keyed cache types.go:22-43).
+    """
+
+    def __init__(self, store, name: str, verify_checksum: bool = True):
+        self.store = store
+        self.name = name
+        self.verify = verify_checksum
+        head = store.get_range(name, 0, 16)
+        if len(head) < 16 or bytes(head[:4]) != MAGIC:
+            raise ErrCorrupt("bad magic")
+        try:
+            _, hlen = struct.unpack("<IQ", bytes(head[4:16]))
+        except struct.error as e:
+            raise ErrCorrupt(f"bad fixed header: {e}")
+        if hlen > _MAX_HEADER:
+            raise ErrCorrupt("header length out of range")
+        try:
+            header = json.loads(store.get_range(name, 16, hlen))
+            self.meta = header["meta"]
+            entries = header["sections"]
+            assert isinstance(entries, list)
+            self.entries = {e["name"]: e for e in entries}
+        except ErrCorrupt:
+            raise
+        except Exception as e:
+            raise ErrCorrupt(f"bad header json: {e}")
+
+    def has(self, name: str) -> bool:
+        return name in self.entries
+
+    def names(self):
+        return list(self.entries)
+
+    def load(self, name: str) -> np.ndarray:
+        """One ranged read + decode of a single section."""
+        try:
+            e = self.entries[name]
+            off, nbytes = int(e["offset"]), int(e["nbytes"])
+            if off < 0 or nbytes < 0:
+                raise ErrCorrupt(f"section {name} out of range")
+            raw = self.store.get_range(self.name, off, nbytes)
+            if len(raw) != nbytes:
+                raise ErrCorrupt(f"section {name} truncated")
+            return _decode_section(e, raw, self.verify, copy=False)
+        except (ErrCorrupt, KeyError):
+            raise
+        except Exception as ex:
+            raise ErrCorrupt(f"section decode failed: {ex}")
+
+    def load_many(self, names=None, exclude_prefixes: Tuple[str, ...] = ()) -> Dict[str, np.ndarray]:
+        out = {}
+        for name in self.entries:
+            if names is not None and name not in names:
+                continue
+            if any(name.startswith(p) for p in exclude_prefixes):
+                continue
+            out[name] = self.load(name)
+        return out
+
+
 def unpack_container(
     data,
     verify_checksum: bool = True,
