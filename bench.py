@@ -36,6 +36,41 @@ def log(msg):
 
 
 @functools.lru_cache(maxsize=1)
+def _rerank_coded_jit():
+    """f32 rescore of the DECODED pool (mirrors VamanaSegment.rerank coded)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _rrq(q, rows, codes, scale, xnorm2, slot_of_row, cents):
+        k_pad, s, d = codes.shape
+        b, c = rows.shape
+        safe = jnp.maximum(rows, 0)
+        slot = jnp.take(slot_of_row, safe)
+        cl = slot // s
+        cv = jnp.take(
+            codes.reshape(-1, d), slot.reshape(-1), axis=0
+        ).reshape(b, c, d).astype(jnp.float32)
+        sc = jnp.take(scale, cl)
+        xhat = (
+            jnp.take(cents, cl.reshape(-1), axis=0).reshape(b, c, d)
+            + cv * sc[:, :, None]
+        )
+        qf = q.astype(jnp.float32)
+        prod = jnp.einsum(
+            "bcd,bd->bc", xhat, qf, precision=jax.lax.Precision.HIGHEST
+        )
+        dd = (
+            jnp.sum(qf * qf, -1, keepdims=True)
+            + jnp.take(xnorm2.reshape(-1), slot)
+            - 2.0 * prod
+        )
+        return jnp.where(rows >= 0, jnp.maximum(dd, 0.0), jnp.inf)
+
+    return _rrq
+
+
+@functools.lru_cache(maxsize=1)
 def _rerank_jit():
     import jax
     import jax.numpy as jnp
@@ -71,6 +106,15 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 4096))
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # Honor an explicit platform pin even when the axon plugin's backend
+        # discovery would otherwise initialize (and sometimes hang on) the
+        # tunnel — same containment as tests/conftest.py.
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     import jax.numpy as jnp
 
     from vecgo_tpu.utils.jaxcache import enable_compilation_cache
@@ -207,11 +251,13 @@ def main():
         t0 = time.perf_counter()
         build_graph_clustered(
             xv_dev, r=r, alpha=alpha, refine_rounds=0, return_device=True,
+            return_membership=True,
         )
         extras["build_cold_s"] = round(time.perf_counter() - t0, 1)
         t0 = time.perf_counter()
-        graph_dev, medoid, bcentroids, bentry = build_graph_clustered(
+        graph_dev, medoid, bcentroids, bentry, members = build_graph_clustered(
             xv_dev, r=r, alpha=alpha, refine_rounds=0, return_device=True,
+            return_membership=True,
         )
         jax.block_until_ready(graph_dev)
         t_build = time.perf_counter() - t0
@@ -241,34 +287,53 @@ def main():
             )
             return hits / (N_QUERIES * K)
 
-        # ---- two-stage query path: blocked-IVF shortlist + graph refine ----
-        # (the VamanaSegment.search serving pipeline, index/vamana.py)
+        # ---- two-stage query path: coded-IVF shortlist + graph refine ----
+        # (the VamanaSegment.search serving pipeline, index/vamana.py).
+        # SERVING MEMORY = SQ8 residual codes + graph only: the table derives
+        # from the build's own membership (no second k-means — round-2's
+        # ivf_table_s was 92.5 s) and the f32/bf16 full copies never upload.
         from vecgo_tpu.ops import ivf as ivf_ops
 
-        trav = xv_dev[:n_vam]
         t0 = time.perf_counter()
-        ivf_cent, ivf_members = ivf_ops.build_ivf_table(xv, capacity=512)
-        table = ivf_ops.device_table(ivf_members, ivf_cent, trav, rnv)
-        jax.block_until_ready(table.blocks)
+        table = ivf_ops.device_table_coded(members, xv_dev[:n_vam])
+        jax.block_until_ready(table.codes)
         extras["ivf_table_s"] = round(time.perf_counter() - t0, 1)
+        extras["build_total_s"] = round(t_build + time.perf_counter() - t0, 1)
+        extras["build_total_vps"] = round(
+            n_vam / (t_build + time.perf_counter() - t0), 1
+        )
+        kt, st, _ = table.codes.shape
+        extras["serve_hbm_bytes_per_row"] = round(
+            (kt * st * (d + 12) + n_vam * (4 + 4 * r) + kt * (4 * d + 8))
+            / n_vam, 1,
+        )
 
         def vam_run(queries, ef, n_probe, refine):
             sd, srows = ivf_ops.ivf_scan(queries, table, n_probe=n_probe, kk=16)
             cd, crows = beam_ops._dedup_topk(sd, srows, ef)
             pool = jnp.where(jnp.isfinite(cd), crows, -1)
             if refine:
-                _, pool = beam_ops.beam_search(
-                    queries, trav, rnv, graph_dev, pool,
+                qc = jnp.einsum(
+                    "bd,kd->bk", queries.astype(jnp.float32), table.centroids
+                )
+                _, pool = beam_ops.beam_search_coded(
+                    queries, table, graph_dev, pool, qc,
                     ef=ef, k=ef, beam_width=4, max_steps=refine,
                 )
-            rd = _rerank_jit()(queries, pool, xvd, rnv)
+            rd = _rerank_coded_jit()(
+                queries, pool, table.codes, table.scale, table.xnorm2,
+                table.slot_of_row, table.centroids,
+            )
             sd2, si2 = jax.lax.sort((rd, pool.astype(jnp.int32)), num_keys=1)
             return sd2[:, :K], si2[:, :K]
 
         chosen = None
+        # The serving table's S equals the build's cluster_size (1024): each
+        # probe covers 2x the rows of the round-2 S=512 table, so the sweep
+        # starts at half the probe counts.
         for ef, n_probe, refine in (
-            (48, 8, 0), (48, 10, 0), (48, 12, 0), (48, 16, 0), (48, 16, 1),
-            (96, 24, 1), (96, 32, 2),
+            (48, 4, 0), (48, 6, 0), (48, 8, 0), (48, 10, 0), (48, 12, 0),
+            (48, 16, 0), (48, 16, 1), (96, 24, 1), (96, 32, 2),
         ):
             _, ids = vam_run(qd, ef, n_probe, refine)
             rec = recall_v(np.asarray(ids))

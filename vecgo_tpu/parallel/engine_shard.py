@@ -174,4 +174,24 @@ def dryrun_engine_sharded(mesh: Mesh) -> None:
     cand = sharded_cluster_knn(x16, rn, members, slots, 8, 1, n, 1, mesh)
     cand = np.asarray(cand[:n])
     assert cand.shape == (n, 1, 8) and (cand.reshape(n, -1) >= 0).any(axis=1).all()
-    print("dryrun_engine_sharded OK: sharded snapshot search + sharded build knn")
+
+    # Sharded FLAGSHIP serving structure: the SQ8-coded blocked-IVF table
+    # cluster-sharded over the mesh, per-shard scan + all_gather merge
+    # (parallel/mesh.ShardedIVF).
+    from vecgo_tpu.ops import ivf as ivf_ops
+    from vecgo_tpu.parallel.mesh import ShardedIVF
+
+    xf = jax.device_put(np.asarray(x, np.float32), rep)
+    table = ivf_ops.device_table_coded(members, xf)
+    siv = ShardedIVF(table, mesh)
+    # The toy membership is index-sliced (not geometric): probe every real
+    # cluster so the exact self-match is guaranteed in the pool.
+    dd, rows = siv.search(x[:8], n_probe_local=4, kk=4)
+    assert rows.shape[0] == 8 and (rows[:, 0] == np.arange(8)).all(), rows[:, 0]
+    # Coded (decoded-x̂) self-distance: bounded by the SQ8 residual step —
+    # far below the ~2d expected inter-point distance on gaussian data.
+    assert float(dd[0, 0]) < 1.0, float(dd[0, 0])
+    print(
+        "dryrun_engine_sharded OK: sharded snapshot search + sharded build "
+        "knn + sharded coded-IVF serving"
+    )

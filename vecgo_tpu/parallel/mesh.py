@@ -152,6 +152,135 @@ class ShardedFlat:
         return d, i
 
 
+class ShardedIVF:
+    """The flagship serving structure sharded across the mesh: the SQ8-coded
+    blocked-IVF table (ops/ivf.IVFCodedTable) splits on its CLUSTER axis
+    along "shard"; queries split along "dp". Each chip probes its local
+    top-`n_probe_local` clusters and scans them; per-shard winners all_gather
+    over ICI and reduce to the global pool (reference analogue: SURVEY §2.3
+    row 5 / engine/search.go:790-909 segment fan-out, re-expressed as SPMD).
+
+    Every chip's local probe ranking preserves the global order restricted to
+    its clusters, so with n_probe_local >= ceil(n_probe/shards) the union of
+    probed clusters covers the single-chip probe set — the sharded pool is a
+    superset in quality. Distances are the coded (decoded-x̂) distances; the
+    final exact-on-x rerank of the tiny top-k window stays host-side, as in
+    single-chip serving. Graph refinement is intentionally absent here:
+    refinement gathers arbitrary rows (all-to-all); the sharded path widens
+    the shortlist instead (scan cost is per-shard and ICI traffic stays one
+    all_gather of [B, P*kk]).
+    """
+
+    def __init__(self, table, mesh: Mesh, group: int = 8):
+        from vecgo_tpu.ops.ivf import IVFCodedTable
+
+        self.mesh = mesh
+        self.group = group
+        n_sh = mesh.shape["shard"]
+        k_pad, s, d = table.codes.shape
+        step = n_sh * group
+        k_full = ((k_pad + step - 1) // step) * step
+        pad = k_full - k_pad
+
+        def _host(a):
+            return np.asarray(a)
+
+        codes = _host(table.codes)
+        scale = _host(table.scale)
+        bn = _host(table.bnorm2)
+        xn = _host(table.xnorm2)
+        rows = _host(table.rows)
+        cents = _host(table.centroids)
+        cn = _host(table.cnorm2)
+        if pad:
+            codes = np.concatenate([codes, np.zeros((pad, s, d), np.int8)])
+            scale = np.concatenate([scale, np.full(pad, 1.0, np.float32)])
+            bn = np.concatenate([bn, np.full((pad, s), np.inf, np.float32)])
+            xn = np.concatenate([xn, np.full((pad, s), np.inf, np.float32)])
+            rows = np.concatenate([rows, np.full((pad, s), -1, np.int32)])
+            cents = np.concatenate([cents, np.zeros((pad, d), np.float32)])
+            cn = np.concatenate([cn, np.full(pad, np.inf, np.float32)])
+        sh = lambda *p: NamedSharding(mesh, P(*p))  # noqa: E731
+        self.k_full, self.s, self.d = k_full, s, d
+        self.codes = jax.device_put(codes, sh("shard", None, None))
+        self.scale = jax.device_put(scale, sh("shard"))
+        self.bnorm2 = jax.device_put(bn, sh("shard", None))
+        self.xnorm2 = jax.device_put(xn, sh("shard", None))
+        self.rows = jax.device_put(rows, sh("shard", None))
+        self.cents = jax.device_put(cents, sh("shard", None))
+        self.cn = jax.device_put(cn, sh("shard"))
+        self._table_cls = IVFCodedTable
+        self._fns = {}
+
+    def _build(self, b_local: int, n_probe_local: int, kk: int):
+        from vecgo_tpu.ops.ivf import _ivf_scan_body
+
+        mesh = self.mesh
+        group = self.group
+        cls = self._table_cls
+        qcap = max(
+            32,
+            ((3 * b_local * n_probe_local // max(self.k_full // mesh.shape["shard"], 1)) + 31)
+            // 32 * 32,
+        )
+        qcap = min(qcap, b_local)
+
+        def local(q, codes, scale, bn, xn, rows, cents, cn):
+            tbl = cls(
+                codes=codes, scale=scale, bnorm2=bn, xnorm2=xn, rows=rows,
+                slot_of_row=jnp.zeros((1,), jnp.int32),  # unused by the scan
+                centroids=cents, cnorm2=cn,
+            )
+            sd, srows = _ivf_scan_body(
+                q, tbl, None, n_probe_local, kk, qcap, group
+            )
+            # srows are SEGMENT rows — already global; merge over ICI.
+            d_all = jax.lax.all_gather(sd, "shard", axis=1, tiled=True)
+            i_all = jax.lax.all_gather(srows, "shard", axis=1, tiled=True)
+            from vecgo_tpu.ops.beam import _dedup_topk
+
+            # Pool width: 2x one shard's candidate count (callers cut to
+            # ef/k), bounded by everything gathered.
+            w = min(
+                n_probe_local * kk * mesh.shape["shard"],
+                max(64, 2 * n_probe_local * kk),
+            )
+            return _dedup_topk(d_all, i_all, w)
+
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P("dp", None), P("shard", None, None), P("shard"),
+                P("shard", None), P("shard", None), P("shard", None),
+                P("shard", None), P("shard"),
+            ),
+            out_specs=(P("dp", None), P("dp", None)),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def search(self, q: np.ndarray, n_probe_local: int = 8, kk: int = 16):
+        """Sharded shortlist scan. Returns (dists, rows) host arrays — the
+        global candidate pool sorted by coded distance (callers cut to k or
+        exact-rerank the window host-side)."""
+        q = np.asarray(q, np.float32)
+        b = q.shape[0]
+        dp = self.mesh.shape.get("dp", 1)
+        pad = (-b) % dp
+        if pad:
+            q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.float32)])
+        key = (q.shape[0] // dp, n_probe_local, kk)
+        if key not in self._fns:
+            self._fns[key] = self._build(*key)
+        qd = jax.device_put(q, NamedSharding(self.mesh, P("dp", None)))
+        d, rows = self._fns[key](
+            qd, self.codes, self.scale, self.bnorm2, self.xnorm2,
+            self.rows, self.cents, self.cn,
+        )
+        return np.asarray(d)[:b], np.asarray(rows)[:b]
+
+
 def sharded_kmeans_step(mesh: Mesh):
     """One Lloyd iteration over a row-sharded corpus: local one-hot-matmul
     cluster stats + psum over the shard axis. Returns a jitted step fn
