@@ -561,6 +561,98 @@ def _ivf_scan_body(
     return out_d, seg_rows
 
 
+def ivf_scan_fused(q, table, *, n_probe, kk, qcap=0, group=4, mask_flat=None,
+                   interpret=None):
+    """Pallas-fused variant of ivf_scan for IVFCodedTable: probe selection and
+    inversion stay in XLA; the per-group score+top-k runs as one kernel that
+    never materializes the [qcap, S] distance tiles in HBM
+    (ops/pallas_scan.pallas_coded_group_scan). Same results contract as
+    ivf_scan."""
+    from vecgo_tpu.ops.pallas_scan import pallas_coded_group_scan
+    from vecgo_tpu.utils.devbug import dispatch_guarded
+
+    assert isinstance(table, IVFCodedTable)
+    b = q.shape[0]
+    k_pad = table.bnorm2.shape[0]
+    n_probe = min(n_probe, k_pad)
+    if qcap == 0:
+        qcap = max(32, ((3 * b * n_probe // max(k_pad, 1)) + 31) // 32 * 32)
+    qcap = min(qcap, b)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fn = functools.partial(
+        _ivf_scan_fused, n_probe=n_probe, kk=kk, qcap=qcap, group=group,
+        interpret=interpret,
+    )
+    if mask_flat is not None:
+        return dispatch_guarded(fn, q, table, mask_flat)
+    return dispatch_guarded(fn, q, table, None)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_probe", "kk", "qcap", "group", "interpret"),
+)
+def _ivf_scan_fused(q, table, mask_flat, *, n_probe, kk, qcap, group,
+                    interpret):
+    from vecgo_tpu.ops.pallas_scan import pallas_coded_group_scan
+
+    b, d = q.shape
+    k_pad, s = table.bnorm2.shape
+    qf = q.astype(jnp.float32)
+    q16 = q.astype(jnp.bfloat16)
+    qn = jnp.sum(qf * qf, axis=-1)
+
+    cd = (
+        qn[:, None]
+        + table.cnorm2[None, :]
+        - 2.0
+        * jax.lax.dot_general(
+            q16, table.centroids.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    )
+    _, probes = jax.lax.top_k(-cd, n_probe)
+    qtab, qslot = _invert_probes(probes, k_pad, qcap)
+
+    q_ext = jnp.concatenate([qf, jnp.zeros((1, d), jnp.float32)])
+    qv = jnp.take(q_ext, qtab.reshape(-1), axis=0).reshape(k_pad, qcap, d)
+    bn = table.bnorm2
+    if mask_flat is not None:
+        bn = jnp.where(mask_flat.reshape(k_pad, s), bn, jnp.inf)
+    ngroups = k_pad // group
+    ld, lc = pallas_coded_group_scan(
+        qv.reshape(ngroups, group, qcap, d),
+        table.codes.reshape(ngroups, group, s, d),
+        bn.reshape(ngroups, group, s),
+        table.scale.reshape(ngroups, group),
+        table.centroids.reshape(ngroups, group, d),
+        kk, group, interpret=interpret,
+    )
+    ld = ld.reshape(k_pad, qcap, kk)
+    lc = lc.reshape(k_pad, qcap, kk)
+    base = (jnp.arange(k_pad, dtype=jnp.int32) * s)[:, None, None]
+    ok = jnp.isfinite(ld) & (ld < _BIG)
+    lrow = jnp.where(ok, base + lc, -1)
+    ld = jnp.where(ok, ld, jnp.inf)
+    out_d = (
+        jnp.full((b + 1, n_probe, kk), jnp.inf, jnp.float32)
+        .at[qtab, qslot].set(ld, mode="drop")[:b]
+    )
+    out_r = (
+        jnp.full((b + 1, n_probe, kk), -1, jnp.int32)
+        .at[qtab, qslot].set(lrow, mode="drop")[:b]
+    )
+    out_d = out_d.reshape(b, n_probe * kk)
+    out_r = out_r.reshape(b, n_probe * kk)
+    seg_rows = jnp.where(
+        out_r >= 0, jnp.take(table.rows.reshape(-1), jnp.maximum(out_r, 0)), -1
+    )
+    out_d = jnp.where(seg_rows >= 0, out_d, jnp.inf)
+    return out_d, seg_rows
+
+
 def slot_mask_from_rows(table: IVFDeviceTable, row_mask) -> jax.Array:
     """Lift a [N] row mask into the [K*S] slot space (padding -> False)."""
     rows = table.rows.reshape(-1)

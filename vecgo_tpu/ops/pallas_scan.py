@@ -196,3 +196,73 @@ def l2_topk(q, x, rnorm2=None, k: int = 10, tile_b: int = 512, tile_n: int = 204
     return pallas_l2_topk(
         q, x, rnorm2, k=k, tile_b=tile_b, tile_n=tile_n, interpret=interpret
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused coded-IVF group scan (serving path, ops/ivf.IVFCodedTable)
+# ---------------------------------------------------------------------------
+
+
+def _coded_scan_kernel(
+    qv_ref, codes_ref, bn_ref, scale_ref, cent_ref, ld_ref, lc_ref,
+    *, kk, group,
+):
+    """One cluster GROUP per grid step: for each cluster, score its [qcap]
+    probing queries against the [S] SQ8 residual codes on the MXU and keep
+    the per-(query, cluster) top-kk entirely in VMEM — the [qcap, S] distance
+    tile never reaches HBM (it is ~8x the size of every other operand and was
+    the XLA scan's dominant traffic, docs/PERF.md round-2 ablation)."""
+    for c in range(group):  # static unroll; group is small (4-8)
+        qv = qv_ref[0, c]  # [qcap, d] f32 (pre-gathered probing queries)
+        qr = qv - cent_ref[0, c][None, :]
+        qrn = jnp.sum(qr * qr, axis=1, keepdims=True)  # [qcap, 1]
+        x = codes_ref[0, c].astype(jnp.bfloat16)  # [S, d]
+        prod = jax.lax.dot_general(
+            qr.astype(jnp.bfloat16), x, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [qcap, S]
+        sc = scale_ref[0, c]
+        dd = qrn + bn_ref[0, c][None, :] - 2.0 * (sc * prod)
+        tile_d, tile_i = _tile_topk(dd, 0, kk)
+        ld_ref[0, c] = tile_d
+        lc_ref[0, c] = tile_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kk", "group", "interpret")
+)
+def pallas_coded_group_scan(
+    qv,  # [ngroups, group, qcap, d] f32: probing queries per cluster
+    codes,  # [ngroups, group, S, d] int8 residual codes
+    bn,  # [ngroups, group, S] f32 (+inf = masked/padded slot)
+    scale,  # [ngroups, group] f32 per-cluster dequant scale
+    cent,  # [ngroups, group, d] f32 centroids
+    kk: int,
+    group: int,
+    interpret: bool = False,
+):
+    """Fused scan+top-k over the blocked coded layout. Returns
+    (ld [ngroups, group, qcap, kk] f32, lc [.., kk] i32 in-cluster columns)."""
+    ngroups, g, qcap, d = qv.shape
+    s = codes.shape[2]
+    kernel = functools.partial(_coded_scan_kernel, kk=kk, group=group)
+    return pl.pallas_call(
+        kernel,
+        grid=(ngroups,),
+        in_specs=[
+            pl.BlockSpec((1, group, qcap, d), lambda gi: (gi, 0, 0, 0)),
+            pl.BlockSpec((1, group, s, d), lambda gi: (gi, 0, 0, 0)),
+            pl.BlockSpec((1, group, s), lambda gi: (gi, 0, 0)),
+            pl.BlockSpec((1, group), lambda gi: (gi, 0)),
+            pl.BlockSpec((1, group, d), lambda gi: (gi, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, group, qcap, kk), lambda gi: (gi, 0, 0, 0)),
+            pl.BlockSpec((1, group, qcap, kk), lambda gi: (gi, 0, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ngroups, group, qcap, kk), jnp.float32),
+            jax.ShapeDtypeStruct((ngroups, group, qcap, kk), jnp.int32),
+        ),
+        interpret=interpret,
+    )(qv, codes, bn, scale, cent)
