@@ -185,3 +185,53 @@ def test_sharded_ivf_matches_single_device():
     # distances sorted ascending and finite at the head
     assert np.isfinite(d[:, 0]).all()
     assert (np.diff(d[:, :10], axis=1) >= -1e-3).all()
+
+
+def test_sharded_build_full_pipeline():
+    """Mesh-sharded clustered build end-to-end (cluster-KNN + prune + reverse
+    all sharded): graph quality matches the single-device build."""
+    import jax
+    import jax.numpy as jnp
+
+    from vecgo_tpu.index.build_fast import build_graph_clustered
+    from vecgo_tpu.parallel.mesh import make_mesh
+
+    x, _ = tu.clustered_vectors(8192, 24, n_clusters=32, seed=13)
+    mesh = make_mesh(shard=4, dp=2)
+    g_sh, medoid, _, _ = build_graph_clustered(
+        x, r=16, cluster_size=256, mesh=mesh
+    )
+    g_ref, _, _, _ = build_graph_clustered(x, r=16, cluster_size=256)
+    assert g_sh.shape == g_ref.shape == (len(x), 16)
+    # no self-loops, valid ids (the sharded prune must use GLOBAL row ids)
+    rows = np.arange(len(x))[:, None]
+    assert not (g_sh == rows).any()
+    assert g_sh.max() < len(x)
+    deg = (g_sh >= 0).sum(1)
+    assert deg.mean() >= 0.8 * (g_ref >= 0).sum(1).mean()
+
+    # search quality parity: beam recall over both graphs
+    from vecgo_tpu.ops import beam as beam_ops
+
+    rng = np.random.default_rng(3)
+    q = x[rng.choice(len(x), 64, replace=False)]
+    xd = jnp.asarray(x, jnp.bfloat16)
+    rn = jnp.asarray(
+        np.einsum("nd,nd->n", x, x, dtype=np.float64).astype(np.float32)
+    )
+    d = ((q[:, None, :] - x[None]) ** 2).sum(-1)
+    gt = np.argsort(d, axis=1)[:, :10]
+
+    def rec(g):
+        _, ids = beam_ops.beam_search(
+            jnp.asarray(q), xd, rn, jnp.asarray(g),
+            jnp.asarray([int(medoid)], jnp.int32), ef=64, k=10, beam_width=4,
+        )
+        ids = np.asarray(ids)
+        return np.mean([
+            len(set(ids[b].tolist()) & set(gt[b].tolist())) / 10
+            for b in range(len(q))
+        ])
+
+    r_sh, r_ref = rec(g_sh), rec(g_ref)
+    assert r_sh >= r_ref - 0.05, (r_sh, r_ref)

@@ -230,9 +230,12 @@ def _descend(
     return w_d, w_i
 
 
-def _prune_blocks(cand_table, vectors, rnorm2, x_occ, rn_occ, r_out: int, alpha: float, block: int, impl: str = "batched"):
+def _prune_blocks(cand_table, vectors, rnorm2, x_occ, rn_occ, r_out: int, alpha: float, block: int, impl: str = "batched", row0: int = 0):
     """RobustPrune every row of cand_table [N_pad, L] (N_pad % block == 0),
-    scanning row blocks. Traced helper. Returns [N_pad, r_out]."""
+    scanning row blocks. Traced helper. Returns [N_pad, r_out].
+
+    row0: global row id of cand_table[0] — nonzero when a mesh shard prunes
+    its row slice (self-exclusion needs global ids)."""
     from vecgo_tpu.ops import beam as beam_ops
 
     n_pad, l = cand_table.shape
@@ -240,7 +243,9 @@ def _prune_blocks(cand_table, vectors, rnorm2, x_occ, rn_occ, r_out: int, alpha:
 
     def body(_, inputs):
         bi, cands = inputs
-        rows = bi * block + jax.lax.broadcasted_iota(jnp.int32, (block,), 0)
+        rows = row0 + bi * block + jax.lax.broadcasted_iota(
+            jnp.int32, (block,), 0
+        )
         vecs = jnp.take(vectors, jnp.minimum(rows, vectors.shape[0] - 1), axis=0)
         out = beam_ops.robust_prune_traced(
             rows, vecs, cands, vectors, rnorm2,
@@ -814,24 +819,37 @@ def build_graph_clustered(
         cand_final, x_occ, rn_occ = jax.block_until_ready(
             _ident(cand_final, x_occ, rn_occ)
         )
-    graph = _retry(
-        lambda salt=0, impl="batched": _prune_all(
-            cand_final, x16, rnorm2, x_occ, rn_occ, r, alpha, block,
-            salt=salt, impl=impl,
-        ),
-        "prune",
-    )
-    t0 = _tick(times, "prune_all", t0, graph)
+    if mesh is not None:
+        # Sharded prune + reverse re-prune: rows split across the mesh, one
+        # ICI all_gather between passes (parallel/engine_shard.sharded_prune).
+        from vecgo_tpu.parallel.engine_shard import sharded_prune
 
-    # ---- reverse-edge pass + re-prune, fused on device ----
-    graph = _retry(
-        lambda salt=0, impl="batched": _prune_with_reverse(
-            graph, x16, rnorm2, x_occ, rn_occ, r, alpha, block, rev_cap,
-            salt=salt, impl=impl,
-        ),
-        "prune+reverse",
-    )
-    t0 = _tick(times, "prune_reverse", t0, graph)
+        graph = jax.block_until_ready(
+            sharded_prune(
+                cand_final, x16, rnorm2, x_occ, rn_occ, r, alpha, block,
+                rev_cap, mesh,
+            )
+        )
+        t0 = _tick(times, "prune_sharded", t0, graph)
+    else:
+        graph = _retry(
+            lambda salt=0, impl="batched": _prune_all(
+                cand_final, x16, rnorm2, x_occ, rn_occ, r, alpha, block,
+                salt=salt, impl=impl,
+            ),
+            "prune",
+        )
+        t0 = _tick(times, "prune_all", t0, graph)
+
+        # ---- reverse-edge pass + re-prune, fused on device ----
+        graph = _retry(
+            lambda salt=0, impl="batched": _prune_with_reverse(
+                graph, x16, rnorm2, x_occ, rn_occ, r, alpha, block, rev_cap,
+                salt=salt, impl=impl,
+            ),
+            "prune+reverse",
+        )
+        t0 = _tick(times, "prune_reverse", t0, graph)
     if _PROFILE and times:
         import sys as _sys
 

@@ -130,6 +130,60 @@ def sharded_cluster_knn(
     )
 
 
+def sharded_prune(
+    cand, x16, rnorm2, x_occ, rn_occ,
+    r: int, alpha: float, block: int, rev_cap: int, mesh: Mesh,
+):
+    """Mesh-sharded RobustPrune + reverse re-prune (the build's FLOP-heavy
+    tail, extending the sharded build beyond cluster-KNN — SURVEY §2.3 build
+    parallelism). Candidate rows split across every device; the corpus
+    replicates; the forward graph all_gathers once over ICI for the reverse
+    pass, then each shard re-prunes its slice. Exact same semantics as the
+    single-device _prune_all + _prune_with_reverse pipeline."""
+    from vecgo_tpu.index.build_fast import _prune_blocks, _reverse_dev
+
+    axes = tuple(mesh.axis_names)
+    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+    n_pad, l = cand.shape
+    lblock = min(block, max(128, n_pad // n_dev))
+    step = n_dev * lblock
+    n_full = ((n_pad + step - 1) // step) * step
+    if n_full > n_pad:
+        cand = jnp.concatenate(
+            [cand, jnp.full((n_full - n_pad, l), -1, cand.dtype)]
+        )
+    local_rows = n_full // n_dev
+
+    def local(cand_, x16_, rn_, xo_, rno_):
+        idx = jnp.int32(0)
+        mult = 1
+        for a in reversed(axes):
+            idx = idx + jax.lax.axis_index(a) * mult
+            mult *= mesh.shape[a]
+        row0 = idx * local_rows
+        g_loc = _prune_blocks(
+            cand_, x16_, rn_, xo_, rno_, r, alpha, lblock, row0=row0
+        )
+        g_full = jax.lax.all_gather(g_loc, axes, axis=0, tiled=True)
+        rev = _reverse_dev(g_full, rev_cap)
+        rev_loc = jax.lax.dynamic_slice_in_dim(rev, row0, local_rows, 0)
+        cand2 = jnp.concatenate([g_loc, rev_loc], axis=1)
+        g2 = _prune_blocks(
+            cand2, x16_, rn_, xo_, rno_, r, alpha, lblock, row0=row0
+        )
+        return jax.lax.all_gather(g2, axes, axis=0, tiled=True)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axes, None), P(), P(), P(), P()),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    out = jax.jit(fn)(cand, x16, rnorm2, x_occ, rn_occ)
+    return out[:n_pad]
+
+
 def dryrun_engine_sharded(mesh: Mesh) -> None:
     """Tiny end-to-end pass: engine snapshot -> sharded search; sharded
     cluster-KNN build stage. Runs on the dryrun's virtual CPU mesh."""
