@@ -236,12 +236,16 @@ def beam_search_traced(
         w_all = si.shape[1]
         pos = jax.lax.broadcasted_iota(jnp.int32, si.shape, 1)
         # The kept (first) copy must inherit "expanded" from any later copy:
-        # propagate flags backward within id-groups (2 passes cover the
-        # overwhelmingly common group sizes; larger groups may re-expand a
-        # node once, which is harmless).
-        same_next = (si == jnp.roll(si, -1, axis=1)) & (pos < w_all - 1)
-        for _ in range(2):
-            se = se | (jnp.roll(se, -1, axis=1) & same_next.astype(jnp.int8))
+        # EXACT segmented suffix-OR over id-groups in log2(W) doubling
+        # strides (replaces the round-2 two-pass heuristic, which could let a
+        # node in a >3-copy group re-expand).
+        stride = 1
+        while stride < w_all:
+            same = (si == jnp.roll(si, -stride, axis=1)) & (
+                pos < w_all - stride
+            )
+            se = se | (jnp.roll(se, -stride, axis=1) & same.astype(jnp.int8))
+            stride *= 2
         dup = (si == jnp.roll(si, 1, axis=1)) & (pos > 0) & (si >= 0)
         sd = jnp.where(dup, _BIG, sd)
         si = jnp.where(dup, -1, si)

@@ -568,7 +568,6 @@ def ivf_scan_fused(q, table, *, n_probe, kk, qcap=0, group=4, mask_flat=None,
     never materializes the [qcap, S] distance tiles in HBM
     (ops/pallas_scan.pallas_coded_group_scan). Same results contract as
     ivf_scan."""
-    from vecgo_tpu.ops.pallas_scan import pallas_coded_group_scan
     from vecgo_tpu.utils.devbug import dispatch_guarded
 
     assert isinstance(table, IVFCodedTable)
