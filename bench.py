@@ -174,6 +174,7 @@ def main():
         exact=True,
     )
     gt_i = np.asarray(gt_i)
+    log("ground truth done")
 
     def recall(ids):
         hits = sum(
@@ -335,6 +336,7 @@ def main():
             (48, 4, 0), (48, 6, 0), (48, 8, 0), (48, 10, 0), (48, 12, 0),
             (48, 16, 0), (48, 16, 1), (96, 24, 1), (96, 32, 2),
         ):
+            log(f"vamana config ef={ef} p={n_probe} r={refine}...")
             _, ids = vam_run(qd, ef, n_probe, refine)
             rec = recall_v(np.asarray(ids))
             extras[f"vamana_recall@ef{ef}p{n_probe}r{refine}"] = round(rec, 4)

@@ -457,3 +457,47 @@ def test_lazy_segment_open_defers_docs_payload():
     assert seg.payload(7) == big_payload
     assert seg.payload(8) is None
     assert counted.bytes_read >= opened_bytes + 100_000
+
+
+def test_cloud_open_fetches_blocks_not_objects():
+    """Remote engine open through a CachingStore: opening a segment reads the
+    header + hot sections as ranged block fetches; docs/payload bytes stay on
+    the store until first touched (reference: lazy reads via the
+    (file,offset)-keyed block cache, cache/types.go:22-43)."""
+    import numpy as np
+
+    from vecgo_tpu.blobstore import MemoryStore
+    from vecgo_tpu.engine import Engine, EngineOptions
+    from vecgo_tpu.storage.cache import CachingStore, LRUCache
+
+    inner = MemoryStore()
+    eng = Engine.open(
+        inner, EngineOptions(dim=8, flush_threshold=10**9), create=True
+    )
+    rng = np.random.default_rng(5)
+    x = rng.random((2000, 8), dtype=np.float32)
+    big = b"z" * 200_000
+    eng.insert_batch(
+        x, [{"i": i} for i in range(2000)],
+        payloads=[big if i < 4 else None for i in range(2000)],
+    )
+    eng.commit()
+    eng.close()
+
+    counted = CountingStore(inner)
+    cs = CachingStore(counted, cache=LRUCache(64 * 1024 * 1024),
+                      block_size=16 * 1024)
+    eng2 = Engine.open(cs, EngineOptions(dim=8))
+    seg_size = inner.size("segment_000001.vgt")
+    assert seg_size > 800_000  # payloads dominate the blob
+    # Open fetched the hot sections but NOT the payload megabytes.
+    assert counted.bytes_read < seg_size - 600_000, (
+        counted.bytes_read, seg_size,
+    )
+    opened = counted.bytes_read
+    c = eng2.get(1)
+    assert c.payload == big  # first touch pulls payload blocks
+    assert counted.bytes_read >= opened + 200_000
+    res = eng2.search(x[11], k=3)
+    assert res[0].id == 12
+    eng2.close()

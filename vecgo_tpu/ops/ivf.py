@@ -41,6 +41,11 @@ import numpy as np
 
 _BIG = jnp.float32(3.0e38)
 
+# Experiment knob (read at import): approx_min_k for the in-cluster top-kk.
+import os as _os
+
+_APPROX_TOPK = _os.environ.get("VECGO_IVF_TOPK", "") == "approx"
+
 
 class IVFDeviceTable(NamedTuple):
     """Device-resident blocked layout (see module docstring).
@@ -531,8 +536,15 @@ def _ivf_scan_body(
         dd = qrn[:, :, None] + bn[:, None, :] - 2.0 * prod  # [g, qcap, S]
         if mblk is not None:
             dd = jnp.where(mblk[:, None, :], dd, jnp.inf)
-        ld, lc = jax.lax.top_k(-dd, kk)  # [g, qcap, kk]
-        ld = -ld
+        if _APPROX_TOPK:
+            # TPU-optimized approximate selector (recall ~0.95 within the
+            # cluster; downstream pool rescore absorbs it). Bench knob:
+            # VECGO_IVF_TOPK=approx.
+            ld, lc = jax.lax.approx_min_k(dd, kk)
+            lc = lc.astype(jnp.int32)
+        else:
+            ld, lc = jax.lax.top_k(-dd, kk)  # [g, qcap, kk]
+            ld = -ld
         # flat slot index -> (cluster*S + col)
         base = (gi * group + jax.lax.broadcasted_iota(
             jnp.int32, (group, 1, 1), 0
