@@ -232,6 +232,7 @@ def _dispatch_chunk(plan: _Plan, qd, opts, options):
 
     for src in plan.sources:
         kk = min(fetch_k, src.n)
+        stream_rerank = False  # SQ8-streamed results need the exact host rerank
         if src.kind == "mem":
             d, rows = src.source.search(qd, kk, src.n, src.mask)
             dist_comps += b * src.rows_considered
@@ -241,9 +242,22 @@ def _dispatch_chunk(plan: _Plan, qd, opts, options):
             )
             dist_comps += b * src.rows_considered
         elif src.kind == "flat_stream":
-            d, rows = src.source.search_streaming(
-                qd, kk, mask=src.mask, nprobes=opts.nprobes
-            )
+            seg = src.source
+            if seg.quant.kind == "none" and not (
+                seg.ivf_centroids is not None and opts.nprobes > 0
+            ):
+                # Unquantized beyond-HBM flat segment: stream SQ8 codes
+                # (1 byte/dim H2D, 4x less than f32) + exact host rerank
+                # below — same economics as the graph_stream path.
+                enc_host, sfn = seg.stream_state()
+                d, rows = T.streaming_topk_scored(
+                    qd, enc_host, seg.n, kk, sfn, mask=src.mask,
+                )
+                stream_rerank = True
+            else:
+                d, rows = seg.search_streaming(
+                    qd, kk, mask=src.mask, nprobes=opts.nprobes
+                )
             dist_comps += b * src.rows_considered
         elif src.kind == "graph_stream":
             # Beyond-HBM graph segment: streaming scan over host-resident SQ8
@@ -294,7 +308,11 @@ def _dispatch_chunk(plan: _Plan, qd, opts, options):
         if src.seg_id >= 0:
             seg = src.source
             if src.kind in ("flat_stream", "graph_stream"):
-                if (not isinstance(seg, FlatSegment)) or seg.quant.kind != "none":
+                if (
+                    stream_rerank
+                    or (not isinstance(seg, FlatSegment))
+                    or seg.quant.kind != "none"
+                ):
                     d = seg.rerank_host(qd, rows)
             else:
                 if (not isinstance(seg, FlatSegment)) or seg.quant.kind != "none":

@@ -351,3 +351,24 @@ def preset_row_sections(x: np.ndarray, ids: np.ndarray, lsns, preset, order=None
         sections["docs.data"] = np.asarray(docs_csr[0], np.uint8)
         sections["docs.indptr"] = docs_csr[1]
     return sections, md_meta, cm
+
+
+def sq8_stream_state(vectors: np.ndarray, metric):
+    """(enc_host, score_fn) for beyond-HBM streaming over SQ8 codes:
+    1 byte/dim H2D instead of 4 (quantization IS the beyond-memory story —
+    reference README.md quantization table). Winners get an exact host
+    rerank downstream (rerank_host_rows)."""
+    from vecgo_tpu import quantization as Q
+
+    n, d = vectors.shape
+    q8 = Q.create("sq8", dim=d)
+    q8.train(np.asarray(vectors[:: max(1, n // 65536)], np.float32))
+    enc = {
+        k: np.asarray(v)
+        for k, v in q8.encode(np.asarray(vectors, np.float32)).items()
+    }
+
+    def score_fn(q, extra, blk):
+        return q8.score(q, blk, metric)
+
+    return enc, score_fn

@@ -324,6 +324,16 @@ class FlatSegment(common.RowBlobAccess):
 
         return rerank_host_rows(q, rows, self.vectors, self.rnorm2, self.metric)
 
+    def stream_state(self):
+        """SQ8 codes + scorer for beyond-HBM streaming of UNQUANTIZED flat
+        segments (quantized ones already stream their own codes via
+        search_streaming); see common.sq8_stream_state."""
+        if getattr(self, "_stream", None) is None:
+            self._stream = common.sq8_stream_state(
+                self.vectors, self.metric.compute()
+            )
+        return self._stream
+
     def _scorer(self):
         """Stable score_fn closure (same object across calls -> jit cache hits)."""
         if self._score_fn is None:

@@ -541,22 +541,9 @@ class VamanaSegment(common.RowBlobAccess):
         "beyond-RAM via compression" axis, README.md quantization table;
         VERDICT r2 weak #8). Winners get an exact host rerank downstream."""
         if self._stream is None:
-            from vecgo_tpu import quantization as Q
-
-            q8 = Q.create("sq8", dim=self.dim)
-            q8.train(
-                np.asarray(self.vectors[:: max(1, self.n // 65536)], np.float32)
+            self._stream = common.sq8_stream_state(
+                self.vectors, self.metric.compute()
             )
-            enc = {
-                k_: np.asarray(v)
-                for k_, v in q8.encode(np.asarray(self.vectors, np.float32)).items()
-            }
-            metric = self.metric.compute()
-
-            def score_fn(q, extra, blk):
-                return q8.score(q, blk, metric)
-
-            self._stream = (enc, score_fn)
         return self._stream
 
     def search(
