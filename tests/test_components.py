@@ -131,12 +131,16 @@ class FakeS3Client:
             raise e
         self.objects[Key] = bytes(Body)
 
-    def get_object(self, Bucket, Key):
+    def get_object(self, Bucket, Key, Range=None):
         if Key not in self.objects:
             e = Exception("missing")
             e.response = {"Error": {"Code": "NoSuchKey"}}
             raise e
-        return {"Body": self.objects[Key]}
+        body = self.objects[Key]
+        if Range:  # "bytes=a-b" inclusive
+            a, b = Range.split("=")[1].split("-")
+            body = body[int(a) : int(b) + 1]
+        return {"Body": body}
 
     def head_object(self, Bucket, Key):
         if Key not in self.objects:
@@ -501,3 +505,23 @@ def test_cloud_open_fetches_blocks_not_objects():
     res = eng2.search(x[11], k=3)
     assert res[0].id == 12
     eng2.close()
+
+
+def test_minio_store_fallback_cas():
+    """MinioStore: conditional PUT when supported, exists+put fallback else."""
+    from vecgo_tpu.blobstore.s3 import MinioStore
+
+    class NoCondClient(FakeS3Client):
+        def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+            if IfNoneMatch is not None:
+                raise Exception("NotImplemented")  # server ignores conditionals
+            return super().put_object(Bucket=Bucket, Key=Key, Body=Body)
+
+    st = MinioStore(NoCondClient(), "bucket")
+    st.put_if_not_exists("CURRENT", b"1")
+    assert st.get("CURRENT") == b"1"
+    with pytest.raises(ErrConflict):
+        st.put_if_not_exists("CURRENT", b"2")
+    # ranged read rides the S3 Range header path
+    st.put("blob", bytes(range(100)))
+    assert st.get_range("blob", 10, 5) == bytes(range(10, 15))

@@ -204,3 +204,45 @@ def _is_precondition_failed(e) -> bool:
 
 def _is_conditional_failed(e) -> bool:
     return _code(e) == "ConditionalCheckFailedException"
+
+
+class MinioStore(S3Store):
+    """MinIO-backed store (reference: blobstore/minio). MinIO speaks the S3
+    API; the practical differences the reference encodes are (a) endpoint
+    configuration and (b) no S3-Express conditional PUT — MinIO *does*
+    honor `If-None-Match: *` on recent releases, so put_if_not_exists tries
+    the conditional PUT and falls back to a non-atomic exists+put (callers
+    needing multi-writer safety should pair MinIO with DDBCommitStore or an
+    external lock, as the reference's docs advise)."""
+
+    def __init__(self, client, bucket: str, prefix: str = ""):
+        super().__init__(client, bucket, prefix)
+
+    @staticmethod
+    def make_client(endpoint_url: str, access_key: str = "", secret_key: str = ""):
+        try:
+            import boto3  # type: ignore
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "boto3 is not installed; inject a client object instead"
+            ) from e
+        return boto3.client(
+            "s3", endpoint_url=endpoint_url,
+            aws_access_key_id=access_key or None,
+            aws_secret_access_key=secret_key or None,
+        )
+
+    def put_if_not_exists(self, name: str, data: bytes) -> None:
+        try:
+            self.client.put_object(
+                Bucket=self.bucket, Key=self._key(name), Body=data,
+                IfNoneMatch="*",
+            )
+            return
+        except Exception as e:
+            if _is_precondition_failed(e):
+                raise ErrConflict(f"blob {name} already exists")
+            # Server ignores/rejects the conditional header: fall back.
+        if self.exists(name):
+            raise ErrConflict(f"blob {name} already exists")
+        self.put(name, data)

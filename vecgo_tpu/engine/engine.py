@@ -55,6 +55,7 @@ class EngineOptions:
     graph_l_build: int = 64
     graph_alpha: Optional[float] = None  # None = per-mode default (1.5 clustered / 1.2 beam)
     graph_build_mode: str = "clustered"  # "clustered" (fast) | "beam"
+    graph_build_params: Dict[str, Any] = dc_field(default_factory=dict)  # build_fast knobs (cluster_size, overlap, ...)
     ivf_rows_per_partition: int = 8192  # flat IVF rule (reference: rows/8192)
     compaction_threshold: int = 4  # size-tiered trigger (reference default 4)
     compaction_policy: Any = None  # engine.policy.CompactionPolicy; None = size-tiered
@@ -857,6 +858,7 @@ class Engine:
                 l_build=self.options.graph_l_build,
                 alpha=self.options.graph_alpha,
                 build_mode=self.options.graph_build_mode,
+                build_params=self.options.graph_build_params,
                 quantizer=self.options.quantizer,
                 qparams=self.options.qparams,
                 seed=self.options.seed,
