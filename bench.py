@@ -309,8 +309,24 @@ def main():
             / n_vam, 1,
         )
 
-        def vam_run(queries, ef, n_probe, refine):
-            sd, srows = ivf_ops.ivf_scan(queries, table, n_probe=n_probe, kk=16)
+        kt_clusters = int(table.bnorm2.shape[0])
+
+        def vam_run(queries, ef, n_probe, refine, qf=0.0, kk=16):
+            # qf: qcap as a multiple of the average probes/cluster for THIS
+            # batch size (0 = ivf_scan's auto 3x). Tighter qcaps trade probe
+            # drops (rescued by refinement + the ef-pool rerank) for linear
+            # scan-cost savings — the round-2 ablation's dominant knob.
+            qcap = 0
+            if qf:
+                b_ = queries.shape[0]
+                qcap = max(
+                    32,
+                    (int(qf * b_ * n_probe / max(kt_clusters, 1)) + 31)
+                    // 32 * 32,
+                )
+            sd, srows = ivf_ops.ivf_scan(
+                queries, table, n_probe=n_probe, kk=kk, qcap=qcap
+            )
             cd, crows = beam_ops._dedup_topk(sd, srows, ef)
             pool = jnp.where(jnp.isfinite(cd), crows, -1)
             if refine:
@@ -331,25 +347,31 @@ def main():
         chosen = None
         # The serving table's S equals the build's cluster_size (1024): each
         # probe covers 2x the rows of the round-2 S=512 table, so the sweep
-        # starts at half the probe counts.
-        for ef, n_probe, refine in (
-            (48, 4, 0), (48, 6, 0), (48, 8, 0), (48, 10, 0), (48, 12, 0),
-            (48, 16, 0), (48, 16, 1), (96, 24, 1), (96, 32, 2),
+        # starts at half the probe counts. qcap=0 means auto (3x the average
+        # probes/cluster); explicit tighter qcaps trade drop-rate (rescued by
+        # refinement + rerank) for linear scan-cost savings — the round-2
+        # ablation's dominant knob.
+        for ef, n_probe, refine, qf in (
+            (48, 4, 0, 0), (48, 4, 1, 0), (48, 6, 0, 0),
+            (48, 6, 0, 1.5), (48, 8, 0, 1.5),
+            (48, 8, 0, 0), (48, 10, 0, 0), (48, 12, 0, 0),
+            (48, 16, 0, 0), (48, 16, 1, 0), (96, 24, 1, 0), (96, 32, 2, 0),
         ):
-            log(f"vamana config ef={ef} p={n_probe} r={refine}...")
-            _, ids = vam_run(qd, ef, n_probe, refine)
+            log(f"vamana config ef={ef} p={n_probe} r={refine} qf={qf}...")
+            _, ids = vam_run(qd, ef, n_probe, refine, qf)
             rec = recall_v(np.asarray(ids))
-            extras[f"vamana_recall@ef{ef}p{n_probe}r{refine}"] = round(rec, 4)
+            extras[f"vamana_recall@ef{ef}p{n_probe}r{refine}qf{qf}"] = round(rec, 4)
             if rec >= 0.95:
-                chosen = (ef, n_probe, refine, rec)
+                chosen = (ef, n_probe, refine, qf, rec)
                 break
         if chosen is None:
-            chosen = (96, 32, 2, rec)
-        ef, n_probe, refine, rec = chosen
+            chosen = (96, 32, 2, 0, rec)
+        ef, n_probe, refine, qf, rec = chosen
         extras["vamana_ef"] = ef
         extras["vamana_nprobe"] = n_probe
         extras["vamana_refine"] = refine
-        dt = _timed(lambda: vam_run(qb, ef, n_probe, refine)[1])
+        extras["vamana_qcap_factor"] = qf
+        dt = _timed(lambda: vam_run(qb, ef, n_probe, refine, qf)[1])
         results["vamana"] = (batch / dt, rec)
         extras["vamana_qps"] = round(batch / dt, 1)
         extras["vamana_recall"] = round(rec, 4)

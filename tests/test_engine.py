@@ -681,3 +681,47 @@ def test_compaction_slab_moves_docs_payloads():
     assert res and all("a2" in c.metadata["arr"] for c in res)
     res = eng.search(x1[8], k=10, filter=gt("i", 500))
     assert res and all(c.metadata["i"] > 500 for c in res)
+
+
+def test_memtable_slab_chain_mixed_inserts():
+    """Slab-chain memtable: per-row tail + bulk slabs interleave; views,
+    gathers, chunked search, and flush export stay consistent."""
+    from vecgo_tpu.engine.memtable import MemTable
+    from vecgo_tpu.model import Metric
+
+    mt = MemTable(8, Metric.L2)
+    rng = np.random.default_rng(1)
+    a = rng.random((7, 8), dtype=np.float32)
+    for i in range(7):
+        mt.insert(a[i], id=i + 1, lsn=i + 1)
+    b = rng.random((9000, 8), dtype=np.float32)
+    mt.insert_block(b, id0=100, lsn0=100)
+    c = rng.random((5, 8), dtype=np.float32)
+    for i in range(5):
+        mt.insert(c[i], id=20000 + i, lsn=20000 + i)
+    d = rng.random((50, 8), dtype=np.float32)
+    mt.insert_block(d, id0=30000, lsn0=30000)
+    n = len(mt)
+    assert n == 7 + 9000 + 5 + 50
+    full = np.concatenate([a, b, c, d])
+    # row views across slab boundaries
+    np.testing.assert_allclose(mt.rows_view(5, 12), full[5:12], rtol=1e-6)
+    np.testing.assert_allclose(
+        mt.rows_view(9000, 9015), full[9000:9015], rtol=1e-6
+    )
+    # per-row access + gather
+    for r in (0, 6, 7, 9006, 9007, 9011, 9012, n - 1):
+        np.testing.assert_allclose(mt.vector(r), full[r], rtol=1e-6)
+    rows = np.array([0, 7, 9000, 9007, 9012, n - 1])
+    np.testing.assert_allclose(mt._gather(rows), full[rows], rtol=1e-6)
+    # export_live with deletions
+    mt.mark_deleted(3, lsn=99999)
+    live, vecs, ids, lsns, docs, pays = mt.export_live()
+    assert len(live) == n - 1 and 3 not in set(live.tolist())
+    np.testing.assert_allclose(vecs, full[live], rtol=1e-6)
+    # chunked device search sees every region
+    import jax.numpy as jnp
+
+    q = jnp.asarray(full[9012][None])
+    dd, rr = mt.search(q, 1, n)
+    assert int(np.asarray(rr)[0, 0]) == 9012
