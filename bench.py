@@ -298,6 +298,13 @@ def main():
         t0 = time.perf_counter()
         table = ivf_ops.device_table_coded(members, xv_dev[:n_vam])
         jax.block_until_ready(table.codes)
+        extras["ivf_table_cold_s"] = round(time.perf_counter() - t0, 1)
+        # Warm (steady-state) table build: the first call pays one-time XLA
+        # compilation; flush/compaction reuse the cached executable.
+        del table
+        t0 = time.perf_counter()
+        table = ivf_ops.device_table_coded(members, xv_dev[:n_vam])
+        jax.block_until_ready(table.codes)
         extras["ivf_table_s"] = round(time.perf_counter() - t0, 1)
         extras["build_total_s"] = round(t_build + time.perf_counter() - t0, 1)
         extras["build_total_vps"] = round(
@@ -351,9 +358,14 @@ def main():
         # probes/cluster); explicit tighter qcaps trade drop-rate (rescued by
         # refinement + rerank) for linear scan-cost savings — the round-2
         # ablation's dominant knob.
+        # Phase 1: recall-screen configs cheapest-first; collect the passing
+        # ones. Phase 2: TIME the first few passers and keep the fastest
+        # (cheap-looking configs are not always fastest: tighter qcaps cut
+        # the scan linearly, refinement adds a fixed gather cost).
+        passing = []
         for ef, n_probe, refine, qf in (
-            (48, 4, 0, 0), (48, 4, 1, 0), (48, 6, 0, 0),
-            (48, 6, 0, 1.5), (48, 8, 0, 1.5),
+            (48, 4, 0, 1.25), (48, 4, 0, 1.5), (48, 4, 0, 2.0), (48, 4, 0, 0),
+            (48, 6, 0, 1.5), (48, 4, 1, 1.5), (48, 6, 0, 0), (48, 8, 0, 1.5),
             (48, 8, 0, 0), (48, 10, 0, 0), (48, 12, 0, 0),
             (48, 16, 0, 0), (48, 16, 1, 0), (96, 24, 1, 0), (96, 32, 2, 0),
         ):
@@ -362,18 +374,26 @@ def main():
             rec = recall_v(np.asarray(ids))
             extras[f"vamana_recall@ef{ef}p{n_probe}r{refine}qf{qf}"] = round(rec, 4)
             if rec >= 0.95:
-                chosen = (ef, n_probe, refine, qf, rec)
+                passing.append((ef, n_probe, refine, qf, rec))
+            if len(passing) >= 3:
                 break
-        if chosen is None:
-            chosen = (96, 32, 2, 0, rec)
-        ef, n_probe, refine, qf, rec = chosen
+        if not passing:
+            passing = [(96, 32, 2, 0, rec)]
+        best = None
+        for ef, n_probe, refine, qf, rec in passing:
+            dt = _timed(lambda: vam_run(qb, ef, n_probe, refine, qf)[1], reps=5)
+            qps = batch / dt
+            log(f"  timed ef={ef} p={n_probe} r={refine} qf={qf}: {qps:.0f} qps")
+            extras[f"vamana_qps@ef{ef}p{n_probe}r{refine}qf{qf}"] = round(qps, 1)
+            if best is None or qps > best[0]:
+                best = (qps, ef, n_probe, refine, qf, rec)
+        qps, ef, n_probe, refine, qf, rec = best
         extras["vamana_ef"] = ef
         extras["vamana_nprobe"] = n_probe
         extras["vamana_refine"] = refine
         extras["vamana_qcap_factor"] = qf
-        dt = _timed(lambda: vam_run(qb, ef, n_probe, refine, qf)[1])
-        results["vamana"] = (batch / dt, rec)
-        extras["vamana_qps"] = round(batch / dt, 1)
+        results["vamana"] = (qps, rec)
+        extras["vamana_qps"] = round(qps, 1)
         extras["vamana_recall"] = round(rec, 4)
     except Exception as e:  # noqa: BLE001 — never suppress the output line
         log(f"vamana phase failed: {e!r}")
@@ -385,20 +405,15 @@ def main():
     # dev tunnel the ~36 MB/s H2D bound dominates; production PCIe (~16 GB/s)
     # makes a full pass ~30 ms.
     try:
-        import ml_dtypes
-
-        from vecgo_tpu.index.common import raw_score_fn
+        from vecgo_tpu.index.common import sq8_stream_state
         from vecgo_tpu.ops import topk as TT
 
-        x16_host = x.astype(ml_dtypes.bfloat16)
-        rn_host = np.einsum("nd,nd->n", x, x, dtype=np.float64).astype(np.float32)
+        enc_host, sfn = sq8_stream_state(x, Metric.L2)  # 1 byte/dim H2D
         qs_small = jnp.asarray(q_all[:256])
 
         def stream_once():
             return TT.streaming_topk_scored(
-                qs_small,
-                {"vectors": x16_host, "rnorm2": rn_host},
-                n, K, raw_score_fn(Metric.L2),
+                qs_small, enc_host, n, K, sfn,
             )[1]
 
         ids_s = np.asarray(stream_once())

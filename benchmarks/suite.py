@@ -57,8 +57,11 @@ def run_config(kind, n, d, batch, k, selectivity, engine_opts):
     rng = np.random.default_rng(42)
     x, cats = make_distribution(kind, n, d, rng)
     db = vecgo.Open(vecgo.Memory(), vecgo.Create(dim=d, **engine_opts))
+    log(f"  [{kind}] ingesting {n} rows...")
     ids = db.insert_batch(x, metadatas=[{"cat": int(c)} for c in cats])
+    log(f"  [{kind}] committing (flush -> segment)...")
     db.commit()
+    log(f"  [{kind}] searching...")
 
     q = x[rng.integers(0, n, batch)] + 0.05 * rng.standard_normal(
         (batch, d)
@@ -74,6 +77,7 @@ def run_config(kind, n, d, batch, k, selectivity, engine_opts):
     dt = time.perf_counter() - t0  # warm run
     out["qps"] = round(batch / dt, 1)
 
+    log(f"  [{kind}] pipelined bulk...")
     # Pipelined bulk throughput (search_arrays: CHUNK_B-query device programs
     # dispatched back-to-back, one stacked drain — the serving path; the
     # reference's analogue is concurrent search, baseline.txt:55).
@@ -104,6 +108,7 @@ def run_config(kind, n, d, batch, k, selectivity, engine_opts):
     out["p95_us"] = round(float(lat[int(len(lat) * 0.95)]) * 1e6, 1)
     out["p99_us"] = round(float(lat[min(int(len(lat) * 0.99), len(lat) - 1)]) * 1e6, 1)
 
+    log(f"  [{kind}] filtered curve...")
     # Filtered recall-vs-selectivity curve (reference holds recall@10 = 1.000
     # from 1% to 50% selectivity, baseline.txt:34-37). Default curve
     # 1% / 10% / 50%; `selectivity` adds a custom point if not on the curve.
