@@ -725,3 +725,24 @@ def test_memtable_slab_chain_mixed_inserts():
     q = jnp.asarray(full[9012][None])
     dd, rr = mt.search(q, 1, n)
     assert int(np.asarray(rr)[0, 0]) == 9012
+
+
+def test_engine_serve_compact_recall():
+    """serve_compact: the engine serves graph segments from the repacked
+    (one-slot-per-row) coded table with recall intact."""
+    eng = new_engine(graph_threshold=4096, serve_compact=True)
+    x, _ = tu.clustered_vectors(9000, D, n_clusters=32, seed=71)
+    ids = eng.insert_batch(x)
+    eng.commit()
+    eng.compact([h.seg_id for h in eng._segments])
+    seg = eng._segments[-1].segment
+    assert seg.__class__.__name__ == "VamanaSegment" and seg.serve_compact
+    t = seg.device_state()["ivfq"]
+    live = np.asarray(t.rows)
+    assert (live >= 0).sum() == 9000  # one slot per row
+    q = x[123]
+    res = eng.search(q, k=10)
+    _, ti = tu.brute_force_knn(q[None], x, 10, "l2")
+    want = {ids[j] for j in ti[0]}
+    got = {c.id for c in res}
+    assert len(got & want) >= 9, (got, want)

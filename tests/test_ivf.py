@@ -203,3 +203,36 @@ def test_coded_masked_scan_matches_filtered_brute(corpus):
     want = idx[np.argmin(d, axis=1)]
     agree = (rows[:, 0] == want).mean()
     assert agree >= 0.9, agree
+
+
+def test_compact_members_primary(corpus):
+    """serve_compact: one slot per row, coverage preserved, memory halved."""
+    import jax.numpy as jnp
+
+    from vecgo_tpu.index.build_fast import build_graph_clustered
+    from vecgo_tpu.ops import ivf
+
+    x, q = corpus
+    _, _, _, _, members = build_graph_clustered(
+        x, r=16, cluster_size=256, overlap=2, return_membership=True
+    )
+    xd = jnp.asarray(x)
+    compacted = ivf.compact_members_primary(members, xd)
+    live = compacted[compacted >= 0]
+    assert len(live) == len(x)  # exactly one slot per row
+    assert len(np.unique(live)) == len(x)
+    # overlap entries gone (memory win shows at scale; S' rounds to lanes)
+    assert len(live) < (members >= 0).sum()
+    assert compacted.shape[1] <= members.shape[1]
+
+    table = ivf.device_table_coded(compacted, xd)
+    k = 10
+    gt_d, gt_i = _brute(q, x, k)
+    # More probes than the overlap table needs, per the memory/compute trade.
+    dd, rows = ivf.ivf_scan(jnp.asarray(q), table, n_probe=16, kk=16)
+    rows = np.asarray(rows)
+    contain = sum(
+        len(set(rows[b][rows[b] >= 0].tolist()) & set(map(int, gt_i[b])))
+        for b in range(len(q))
+    ) / (len(q) * k)
+    assert contain >= 0.95, contain

@@ -74,6 +74,7 @@ class EngineOptions:
     orphan_gc_grace_s: float = 3600.0  # min age before open-time orphan GC deletes
     ef_search: int = 64
     beam_width: int = 4
+    serve_compact: bool = False  # coded-table repack: half HBM, ~2x probes
     selectivity_cutoff: float = 0.30
     lexical: bool = False  # BM25 over insert(text=...)
     observer: Any = None  # MetricsObserver
@@ -212,6 +213,8 @@ class Engine:
                 seg = open_segment_lazy(
                     store, info.name, info.seg_id, options.verify_checksum
                 )
+            if hasattr(seg, "serve_compact"):
+                seg.serve_compact = options.serve_compact
             h = SegmentHandle(seg, info)
             eng._segments.append(h)
             if info.tombstone_blob:
@@ -938,6 +941,8 @@ class Engine:
         blob_name = _seg_blob(out_seg_id)
         self.store.put(blob_name, data)
         out_seg = open_segment(data, out_seg_id, verify_checksum=False)
+        if hasattr(out_seg, "serve_compact"):
+            out_seg.serve_compact = self.options.serve_compact
 
         # ---- P3: swap under the lock ----
         with self._lock:

@@ -415,6 +415,10 @@ class VamanaSegment(common.RowBlobAccess):
     """Immutable graph segment (reference: diskann.Segment, segment.go:92)."""
 
     DEFAULT_EF_SEARCH = 64
+    # Serving memory/compute knob (engine: EngineOptions.serve_compact):
+    # repack the coded table to one slot per row at open — half the HBM of
+    # the overlap build membership, ~2x the probes for equal recall.
+    serve_compact = False
 
     def __init__(
         self,
@@ -487,7 +491,9 @@ class VamanaSegment(common.RowBlobAccess):
                 from vecgo_tpu.ops import ivf as ivf_ops
 
                 x16 = jnp.asarray(self.vectors, jnp.bfloat16)
-                table = ivf_ops.device_table_coded(self.ivf_members, x16)
+                table = ivf_ops.device_table_coded(
+                    self.ivf_members, x16, compact=self.serve_compact
+                )
                 table.codes.block_until_ready()
                 del x16
                 self._dev = {
@@ -594,8 +600,11 @@ class VamanaSegment(common.RowBlobAccess):
             kt = table.bnorm2.shape[0]
             if n_probe <= 0:
                 # Auto: enough probes that the shortlist pool comfortably
-                # covers ef; floor 8, cap 32 (probe cost is linear).
+                # covers ef; floor 8, cap 32 (probe cost is linear). Compact
+                # tables lose the boundary secondaries -> double the probes.
                 n_probe = int(min(kt, max(8, min(32, (ef + 15) // 16 * 4))))
+                if self.serve_compact:
+                    n_probe = int(min(kt, 2 * n_probe))
             # Per-(query, cluster) winners: ~2*ef/n_probe covers the pool
             # width; the in-cluster top-k is a major scan cost (linear in kk).
             kk = max(8, min(16, -(-2 * ef // max(n_probe, 1))))

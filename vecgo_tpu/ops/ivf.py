@@ -333,14 +333,88 @@ def _coded_build(mdev, x16, *, group: int):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("group",))
+def _member_res_norms(mdev, x16, *, group: int):
+    """Per-slot |x - cluster_mean|² (pass 1 of the compact repack)."""
+    k_pad, s = mdev.shape
+    n, d = x16.shape
+    m_g = mdev.reshape(k_pad // group, group, s)
+
+    def body(_, mg):
+        valid = mg >= 0
+        v = jnp.take(x16, jnp.maximum(mg, 0).reshape(-1), axis=0).reshape(
+            group, s, d
+        ).astype(jnp.float32)
+        v = jnp.where(valid[:, :, None], v, 0.0)
+        cnt = jnp.sum(valid, axis=1).astype(jnp.float32)
+        cent = jnp.sum(v, axis=1) / jnp.maximum(cnt, 1.0)[:, None]
+        res = v - cent[:, None, :]
+        rn = jnp.where(valid, jnp.sum(res * res, axis=-1), jnp.inf)
+        return None, rn
+
+    _, rn = jax.lax.scan(body, None, m_g)
+    return rn.reshape(k_pad, s)
+
+
+def compact_members_primary(members, vectors_dev, group: int = 8):
+    """Repack a (possibly overlapping) membership so every row keeps ONE slot —
+    the one whose cluster mean is nearest. Memory halves for an overlap-2
+    build membership; per-probe containment drops (no boundary secondaries),
+    so serving needs ~2x the probes for equal recall — the memory/compute
+    knob (serve_compact).
+
+    Returns a compacted host members table [K, S'] (S' = max post-dedup
+    cluster occupancy, padded to a lane multiple)."""
+    k, s = members.shape
+    k_pad = ((k + group - 1) // group) * group
+    if k_pad > k:
+        m = np.full((k_pad, s), -1, np.int32)
+        m[:k] = np.asarray(members)
+        members = m
+    mdev = members if isinstance(members, jax.Array) else jnp.asarray(members)
+    n = vectors_dev.shape[0]
+    rn = _member_res_norms(mdev, vectors_dev, group=group)
+
+    flat_rows = mdev.reshape(-1)
+    flat_rn = rn.reshape(-1)
+    safe = jnp.where(flat_rows >= 0, flat_rows, n)
+    # Keeper per row: nearest-mean slot, ties broken by smallest slot id.
+    best = jnp.full((n + 1,), jnp.inf, jnp.float32).at[safe].min(flat_rn)
+    is_best = (flat_rn <= jnp.take(best, safe)) & (flat_rows >= 0)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, flat_rows.shape, 0)
+    big = jnp.int32(2**30)
+    best_slot = (
+        jnp.full((n + 1,), big, jnp.int32)
+        .at[jnp.where(is_best, safe, n)].min(
+            jnp.where(is_best, slot_ids, big), mode="drop"
+        )
+    )
+    keep = slot_ids == jnp.take(best_slot, safe)
+    kept = jnp.where(keep, flat_rows, -1).reshape(mdev.shape)
+    # Push valid entries left within each cluster (row-wise 2-D sort: key
+    # invalid-first=False => sort by (is_invalid, original order preserved
+    # is unnecessary — membership order carries no meaning)).
+    kept_sorted = jax.lax.sort(
+        (jnp.where(kept >= 0, 0, 1).astype(jnp.int32), kept), num_keys=1
+    )[1]
+    occupancy = int(jnp.max(jnp.sum(kept >= 0, axis=1)))
+    s2 = max(32, ((occupancy + 127) // 128) * 128)
+    return np.asarray(kept_sorted[:, :s2])
+
+
 def device_table_coded(
     members: np.ndarray,
     vectors_dev: jax.Array,  # [N, d] float (bf16 fine; encode reads f32)
     group: int = 8,
+    compact: bool = False,
 ) -> IVFCodedTable:
     """Materialize the SQ8-residual serving table from a membership table
     (typically the graph build's own partition — build_fast
-    build_graph_clustered(return_membership=True))."""
+    build_graph_clustered(return_membership=True)). compact=True first
+    repacks to one slot per row (half the memory of an overlap-2 build
+    membership; see compact_members_primary)."""
+    if compact:
+        members = compact_members_primary(members, vectors_dev, group=group)
     k, s = members.shape
     k_pad = ((k + group - 1) // group) * group
     if k_pad > k:
