@@ -45,6 +45,8 @@ _BIG = jnp.float32(3.0e38)
 import os as _os
 
 _APPROX_TOPK = _os.environ.get("VECGO_IVF_TOPK", "") == "approx"
+# Kill-switch for the Pallas fused scan auto-route (ivf_scan fused=None).
+_FUSED_ENABLED = _os.environ.get("VECGO_IVF_FUSED", "1") != "0"
 
 
 class IVFDeviceTable(NamedTuple):
@@ -466,11 +468,17 @@ def _invert_probes(probes, k_pad: int, qcap: int):
     return qtab, qslot
 
 
-def ivf_scan(q, table, *, n_probe, kk, qcap=0, group=8, mask_flat=None):
+def ivf_scan(q, table, *, n_probe, kk, qcap=0, group=8, mask_flat=None,
+             fused=None):
     """Guarded jitted entry (see _ivf_scan; containment in utils/devbug.py).
 
     Accepts either table layout: IVFDeviceTable (bf16 residuals) or
-    IVFCodedTable (SQ8 residual codes — the serving-memory default)."""
+    IVFCodedTable (SQ8 residual codes — the serving-memory default).
+
+    fused=None auto-routes coded tables to the Pallas fused kernel on real
+    TPU (measured 1.5-3x the XLA scan at 100k-1M: the [qcap, S] distance
+    tiles stay in VMEM); guarded by a VMEM estimate and a d|128 check, env
+    kill-switch VECGO_IVF_FUSED=0."""
     from vecgo_tpu.utils.devbug import dispatch_guarded
 
     b = q.shape[0]
@@ -485,6 +493,23 @@ def ivf_scan(q, table, *, n_probe, kk, qcap=0, group=8, mask_flat=None):
         qcap = max(32, ((3 * b * n_probe // max(k_pad, 1)) + 31) // 32 * 32)
     qcap = min(qcap, b)
     coded = isinstance(table, IVFCodedTable)
+    if fused is None:
+        s = table.bnorm2.shape[1]
+        d = q.shape[1]
+        fused = (
+            coded
+            and _FUSED_ENABLED
+            and jax.default_backend() == "tpu"
+            and d % 128 == 0
+            # per-grid-step VMEM: [qcap, S] f32 distance tile dominates
+            and qcap * s * 4 <= (4 << 20)
+        )
+    if fused and coded:
+        fgroup = 4 if k_pad % 4 == 0 else 1
+        return ivf_scan_fused(
+            q, table, n_probe=n_probe, kk=kk, qcap=qcap, group=fgroup,
+            mask_flat=mask_flat,
+        )
     if mask_flat is not None:
         fn = _ivf_scan_coded if coded else _ivf_scan
         return dispatch_guarded(
@@ -752,5 +777,6 @@ __all__ = [
     "device_table",
     "device_table_coded",
     "ivf_scan",
+    "ivf_scan_fused",
     "slot_mask_from_rows",
 ]

@@ -43,7 +43,10 @@ def _merge_sorted_2k(d, i, k: int):
     b, w = d.shape
     cols = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
 
-    def oe_round(state, r):
+    # lax.fori_loop, not lax.scan: Mosaic's in-kernel loop lowering only
+    # accepts fori-style loops (a scan with array carries fails to lower on
+    # real TPU with "not a fori_loop index" — invisible in interpret mode).
+    def oe_round(r, state):
         dd, ii = state
         parity = r % 2
         right_d = jnp.roll(dd, -1, axis=1)
@@ -58,9 +61,9 @@ def _merge_sorted_2k(d, i, k: int):
         take = jnp.where(is_left, pd < dd, pd > dd) & has_partner
         dd = jnp.where(take, pd, dd)
         ii = jnp.where(take, pi, ii)
-        return (dd, ii), None
+        return (dd, ii)
 
-    (d, i), _ = jax.lax.scan(oe_round, (d, i), jnp.arange(w, dtype=jnp.int32))
+    d, i = jax.lax.fori_loop(0, w, oe_round, (d, i))
     return d[:, :k], i[:, :k]
 
 
@@ -70,12 +73,16 @@ def _tile_topk(scores, base, k: int):
     b, t = scores.shape
     cols = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
 
-    def pick(state, _):
-        s, outd, outi, slot = state
+    # fori_loop for Mosaic lowering (see _merge_sorted_2k); the loop index
+    # doubles as the output slot.
+    def pick(slot, state):
+        s, outd, outi = state
         m = jnp.min(s, axis=1, keepdims=True)
         is_min = s == m
-        first = (jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1) & is_min
-        idx = jnp.sum(jnp.where(first, cols, 0), axis=1)
+        # First minimizing column via a second min-reduce over column ids
+        # (cumsum is not lowerable by Mosaic).
+        idx = jnp.min(jnp.where(is_min, cols, t), axis=1)
+        first = cols == idx[:, None]
         outd = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (1, k), 1) == slot, m, outd
         )
@@ -85,13 +92,11 @@ def _tile_topk(scores, base, k: int):
             outi,
         )
         s = jnp.where(first, _BIG, s)
-        return (s, outd, outi, slot + 1), None
+        return (s, outd, outi)
 
     outd = jnp.full((b, k), _BIG, jnp.float32)
     outi = jnp.full((b, k), -1, jnp.int32)
-    (_, outd, outi, _), _ = jax.lax.scan(
-        pick, (scores, outd, outi, jnp.int32(0)), None, length=k
-    )
+    _, outd, outi = jax.lax.fori_loop(0, k, pick, (scores, outd, outi))
     return outd, outi
 
 
@@ -204,25 +209,33 @@ def l2_topk(q, x, rnorm2=None, k: int = 10, tile_b: int = 512, tile_n: int = 204
 
 
 def _coded_scan_kernel(
-    qv_ref, codes_ref, bn_ref, scale_ref, cent_ref, ld_ref, lc_ref,
+    qrs_ref, qrn_ref, codes_ref, bn_ref, scale_ref, ld_ref, lc_ref,
     *, kk, group,
 ):
     """One cluster GROUP per grid step: for each cluster, score its [qcap]
     probing queries against the [S] SQ8 residual codes on the MXU and keep
     the per-(query, cluster) top-kk entirely in VMEM — the [qcap, S] distance
     tile never reaches HBM (it is ~8x the size of every other operand and was
-    the XLA scan's dominant traffic, docs/PERF.md round-2 ablation)."""
+    the XLA scan's dominant traffic, docs/PERF.md round-2 ablation).
+
+    Centroid subtraction happens upstream (XLA fuses it into the query
+    gather); the per-cluster dequant scale arrives as [ngroups, 1, group] so
+    its block's trailing dims EQUAL the array's — Mosaic's (8,128) VMEM
+    block-tiling rule rejects a [1, group] slice of a [ngroups, group] array
+    (the r3 real-chip lowering failure interpret mode cannot catch; this
+    jax's Mosaic applies the same check to SMEM blocks). Scaling the f32
+    product AFTER the bf16 matmul keeps bit-identical results with the XLA
+    scan (prescaling qr would round differently through the bf16 cast)."""
     for c in range(group):  # static unroll; group is small (4-8)
-        qv = qv_ref[0, c]  # [qcap, d] f32 (pre-gathered probing queries)
-        qr = qv - cent_ref[0, c][None, :]
-        qrn = jnp.sum(qr * qr, axis=1, keepdims=True)  # [qcap, 1]
+        qrs = qrs_ref[0, c]  # [qcap, d] f32 query residuals (q - cent)
+        qrn = qrn_ref[0, c]  # [qcap] f32 |q - cent|²
         x = codes_ref[0, c].astype(jnp.bfloat16)  # [S, d]
         prod = jax.lax.dot_general(
-            qr.astype(jnp.bfloat16), x, (((1,), (1,)), ((), ())),
+            qrs.astype(jnp.bfloat16), x, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [qcap, S]
-        sc = scale_ref[0, c]
-        dd = qrn + bn_ref[0, c][None, :] - 2.0 * (sc * prod)
+        sc = scale_ref[0, 0, c]
+        dd = qrn[:, None] + bn_ref[0, c][None, :] - 2.0 * (sc * prod)
         tile_d, tile_i = _tile_topk(dd, 0, kk)
         ld_ref[0, c] = tile_d
         lc_ref[0, c] = tile_i
@@ -245,16 +258,20 @@ def pallas_coded_group_scan(
     (ld [ngroups, group, qcap, kk] f32, lc [.., kk] i32 in-cluster columns)."""
     ngroups, g, qcap, d = qv.shape
     s = codes.shape[2]
+    # Centroid subtraction on the query side (XLA fuses this into the
+    # upstream gather): dd = |q-c|² + bn - 2·sc·((q-c)·codes).
+    qr = qv - cent[:, :, None, :]
+    qrn = jnp.sum(qr * qr, axis=-1)  # [ngroups, group, qcap]
     kernel = functools.partial(_coded_scan_kernel, kk=kk, group=group)
     return pl.pallas_call(
         kernel,
         grid=(ngroups,),
         in_specs=[
             pl.BlockSpec((1, group, qcap, d), lambda gi: (gi, 0, 0, 0)),
+            pl.BlockSpec((1, group, qcap), lambda gi: (gi, 0, 0)),
             pl.BlockSpec((1, group, s, d), lambda gi: (gi, 0, 0, 0)),
             pl.BlockSpec((1, group, s), lambda gi: (gi, 0, 0)),
-            pl.BlockSpec((1, group), lambda gi: (gi, 0)),
-            pl.BlockSpec((1, group, d), lambda gi: (gi, 0, 0)),
+            pl.BlockSpec((1, 1, group), lambda gi: (gi, 0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, group, qcap, kk), lambda gi: (gi, 0, 0, 0)),
@@ -265,4 +282,4 @@ def pallas_coded_group_scan(
             jax.ShapeDtypeStruct((ngroups, group, qcap, kk), jnp.int32),
         ),
         interpret=interpret,
-    )(qv, codes, bn, scale, cent)
+    )(qr, qrn, codes, bn, scale.reshape(ngroups, 1, g))
