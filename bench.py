@@ -336,14 +336,20 @@ def main():
             )
             cd, crows = beam_ops._dedup_topk(sd, srows, ef)
             pool = jnp.where(jnp.isfinite(cd), crows, -1)
-            if refine:
-                qc = jnp.einsum(
-                    "bd,kd->bk", queries.astype(jnp.float32), table.centroids
-                )
-                _, pool = beam_ops.beam_search_coded(
-                    queries, table, graph_dev, pool, qc,
-                    ef=ef, k=ef, beam_width=4, max_steps=refine,
-                )
+            if not refine:
+                # No-rescore fast path (mirrors VamanaSegment.search): the
+                # scan's bf16-residual distances already rank within SQ8
+                # error — measured recall 0.9611 w/o the f32 rescore vs
+                # 0.9587 with it at 1M, and the ef-wide code gather was ~25%
+                # of query time.
+                return cd[:, :K], pool[:, :K]
+            qc = jnp.einsum(
+                "bd,kd->bk", queries.astype(jnp.float32), table.centroids
+            )
+            _, pool = beam_ops.beam_search_coded(
+                queries, table, graph_dev, pool, qc,
+                ef=ef, k=ef, beam_width=4, max_steps=refine,
+            )
             rd = _rerank_coded_jit()(
                 queries, pool, table.codes, table.scale, table.xnorm2,
                 table.slot_of_row, table.centroids,

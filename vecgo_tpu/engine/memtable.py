@@ -21,6 +21,7 @@ shapes, only content changes).
 
 from __future__ import annotations
 
+import os
 import threading
 from typing import List, Optional
 
@@ -34,7 +35,10 @@ CHUNK = 8192
 MIN_CAPACITY = 1024
 
 _COPY_POOL = None
-_COPY_THREADS = 8
+# Threaded copies pay off only with real cores to overlap page faults on;
+# on small VMs (the dev tunnel box has run with nproc=1) threads just add
+# scheduling overhead on top of the same memcpy.
+_COPY_THREADS = min(8, os.cpu_count() or 1)
 
 
 def _fast_copy(x: np.ndarray) -> np.ndarray:
@@ -45,7 +49,7 @@ def _fast_copy(x: np.ndarray) -> np.ndarray:
     ingest bottleneck)."""
     global _COPY_POOL
     x = np.ascontiguousarray(x, np.float32)
-    if x.shape[0] < 65536:
+    if x.shape[0] < 65536 or _COPY_THREADS == 1:
         return x.copy()
     if _COPY_POOL is None:
         from concurrent.futures import ThreadPoolExecutor

@@ -189,8 +189,23 @@ def _plan_snapshot(snap, opts, options, device_budget) -> _Plan:
             kind = "flat" if resident else "flat_stream"
             plan.n_brute += 1
         elif not resident:
-            kind = "graph_stream"
-            plan.n_brute += 1
+            # Beyond-HBM graph segment: prefer the cluster-cached coded
+            # two-stage path (bounded HBM, probe-churn H2D — the reference's
+            # lazy block cache, diskann/segment.go:1151) over the full
+            # streaming scan; stream only if even the cache can't fit.
+            if (
+                getattr(seg, "ivf_members", None) is not None
+                and device_budget.admit(
+                    ("segcache", seg.seg_id),
+                    seg.cache_bytes(),
+                    seg.release_cache,
+                )
+            ):
+                kind = "graph_cached"
+                plan.n_graph += 1
+            else:
+                kind = "graph_stream"
+                plan.n_brute += 1
         else:
             cutoff = (
                 opts.selectivity_cutoff
@@ -259,6 +274,14 @@ def _dispatch_chunk(plan: _Plan, qd, opts, options):
                     qd, kk, mask=src.mask, nprobes=opts.nprobes
                 )
             dist_comps += b * src.rows_considered
+        elif src.kind == "graph_cached":
+            # Beyond-HBM two-stage: fixed-size cluster cache in HBM, probe
+            # misses upload on demand; exact host rerank below.
+            seg = src.source
+            ef = max(opts.ef or options.ef_search, kk)
+            d, rows = seg.search_cached(qd, kk, mask=src.mask, ef=ef)
+            stream_rerank = True
+            dist_comps += b * kk
         elif src.kind == "graph_stream":
             # Beyond-HBM graph segment: streaming scan over host-resident SQ8
             # codes (1 byte/dim H2D instead of 4 — quantization IS the
@@ -307,7 +330,7 @@ def _dispatch_chunk(plan: _Plan, qd, opts, options):
         # ---- exact rerank (graph results are bf16; quantized approximate) ----
         if src.seg_id >= 0:
             seg = src.source
-            if src.kind in ("flat_stream", "graph_stream"):
+            if src.kind in ("flat_stream", "graph_stream", "graph_cached"):
                 if (
                     stream_rerank
                     or (not isinstance(seg, FlatSegment))

@@ -453,6 +453,7 @@ class VamanaSegment(common.RowBlobAccess):
         self._rerank_fn = None
         self._scan_score_fn = None
         self._stream = None
+        self._ccache = None
 
     @staticmethod
     def open(data: bytes, seg_id: int = 0, verify_checksum: bool = True) -> "VamanaSegment":
@@ -541,6 +542,67 @@ class VamanaSegment(common.RowBlobAccess):
 
         return rerank_host_rows(q, rows, self.vectors, self.rnorm2, self.metric)
 
+    # ---- beyond-HBM coded serving (cluster-granular device cache) ----
+
+    CACHE_CLUSTERS = 256
+
+    def cache_bytes(self, cache_clusters: int = 0) -> int:
+        """HBM footprint of the cluster cache (independent of N)."""
+        c = cache_clusters or self.CACHE_CLUSTERS
+        if self.ivf_members is None:
+            return 0
+        k, s = self.ivf_members.shape
+        c = min(c, k)
+        d = self.dim
+        return int(c * (s * (d + 8) + d * 4 + 4) + k * (d * 4 + 8))
+
+    def cluster_cache(self, cache_clusters: int = 0):
+        """Lazily build the fixed-HBM coded serving cache
+        (ops/ivf_cache.ClusterCachedTable; reference: lazy block reads +
+        block cache, diskann/segment.go:1151)."""
+        if self._ccache is None:
+            from vecgo_tpu.ops.ivf_cache import ClusterCachedTable
+
+            self._ccache = ClusterCachedTable(
+                self.ivf_members,
+                np.asarray(self.vectors, np.float32),
+                cache_clusters=cache_clusters or self.CACHE_CLUSTERS,
+            )
+        return self._ccache
+
+    def release_cache(self):
+        self._ccache = None
+
+    def search_cached(self, q, k: int, mask: Optional[np.ndarray] = None,
+                      ef: int = 0, n_probe: int = 0):
+        """Beyond-HBM two-stage stage 1: probe all centroids on device, scan
+        only the cached cluster blocks (misses upload on demand). Returns
+        (dists [B,k], rows [B,k]) with coded distances — callers rerank
+        exactly via rerank_host. No graph refinement (the cache holds only
+        probed clusters, so neighbor gathers outside it are impossible);
+        the wider probe default compensates."""
+        import jax.numpy as jnp
+
+        from vecgo_tpu.ops import beam as beam_ops
+
+        b = q.shape[0]
+        if self.n == 0 or self.ivf_members is None:
+            return (
+                jnp.full((b, k), jnp.inf, jnp.float32),
+                jnp.full((b, k), -1, jnp.int32),
+            )
+        cc = self.cluster_cache()
+        ef = max(ef or max(self.DEFAULT_EF_SEARCH, k), k)
+        if n_probe <= 0:
+            n_probe = int(min(cc.k, max(16, (ef + 15) // 16 * 4)))
+        kk = max(8, min(16, -(-2 * ef // max(n_probe, 1))))
+        kk = min(kk, self.ivf_members.shape[1])
+        sd, srows = cc.probe_and_scan(q, n_probe, kk, row_mask=mask)
+        cd, crows = beam_ops._dedup_topk(sd, srows, max(ef, k))
+        cd = cd[:, :k] if cd.shape[1] > k else cd
+        crows = crows[:, :k] if crows.shape[1] > k else crows
+        return cd, jnp.where(jnp.isfinite(cd), crows, -1)
+
     def stream_state(self):
         """Host-resident SQ8 codes + scorer for beyond-HBM STREAMING search:
         row blocks upload 1 byte/dim instead of 4 (the reference's
@@ -560,7 +622,14 @@ class VamanaSegment(common.RowBlobAccess):
         ef: int = 0,
         beam_width: int = 4,
         n_probe: int = 0,  # 0 = auto; IVF shortlist width (two-stage path)
-        refine_steps: int = 1,  # graph expansion rounds after the shortlist
+        # Graph expansion rounds after the shortlist. Default 1: the engine
+        # depends on refinement to rescue rows outside the probe set
+        # (serve_compact's one-slot-per-row tables especially). At 1M the
+        # probe widths alone clear the recall floor (0.9611@p=6) and one
+        # round costs ~2x the scan in beam gathers — serving pipelines that
+        # measure this pass refine_steps=0 explicitly (bench.py).
+        refine_steps: int = 1,
+        rescore: Optional[bool] = None,  # None = only when refining
     ):
         """Returns (dists [B,k], rows [B,k]).
 
@@ -638,6 +707,19 @@ class VamanaSegment(common.RowBlobAccess):
                 )
             else:
                 pool_rows = jnp.where(jnp.isfinite(cd), crows, -1)
+            if rescore is None:
+                # Default ON: callers (the engine) cut the returned window to
+                # k, so the ef-pool must be ordered by decoded-f32 distances
+                # before truncation — bf16 scan ordering alone loses ~2-3/10
+                # neighbors at small dim / wide clusters (serve_compact test).
+                # Serving pipelines that measure the opposite at scale (1M x
+                # 128d: 0.9611 without vs 0.9587 with, rescore ~25% of query
+                # time) opt out explicitly with rescore=False (bench.py).
+                rescore = True
+            if not rescore and refine_steps == 0:
+                res_d = cd[:, :k]
+                res_i = jnp.where(jnp.isfinite(res_d), crows[:, :k], -1)
+                return res_d, res_i
             # f32 rescore of the decoded pool, then cut to k. (Distances are
             # vs x̂; engine-level exact-on-x rerank of the final window runs
             # host-side via rerank_host when required.)

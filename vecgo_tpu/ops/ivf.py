@@ -568,9 +568,6 @@ def _ivf_scan_body(
     """Blocked IVF scan. Returns (dists [B, n_probe*kk] f32, rows
     [B, n_probe*kk] int32 segment rows, -1 invalid). Residual-exact
     distances (see IVFDeviceTable); callers rerank exact anyway."""
-    b, d = q.shape
-    k_pad, s = table.bnorm2.shape
-
     qf = q.astype(jnp.float32)
     q16 = q.astype(jnp.bfloat16)
     qn = jnp.sum(qf * qf, axis=-1)  # [B]
@@ -587,6 +584,28 @@ def _ivf_scan_body(
         )
     )
     _, probes = jax.lax.top_k(-cd, n_probe)  # [B, P]
+    return _scan_groups(
+        qf, table, probes, mask_flat, kk=kk, qcap=qcap, group=group
+    )
+
+
+def _scan_groups(
+    qf,  # [B, d] f32
+    table,  # IVFDeviceTable | IVFCodedTable (cluster axis may be a CACHE)
+    probes,  # [B, P] int32 cluster indices into table's cluster axis
+    mask_flat,  # [K*S] bool or None
+    *,
+    kk: int,
+    qcap: int,
+    group: int,
+):
+    """Stages 2-4 of the blocked scan (inversion + grouped scan + scatter),
+    with probe selection supplied by the caller — the cluster-cache serving
+    tier probes FULL-table centroids but scans a small device-resident cache,
+    so its probe space and scan space differ (see ClusterCachedTable)."""
+    b, d = qf.shape
+    k_pad, s = table.bnorm2.shape
+    n_probe = probes.shape[1]
 
     # 2. invert to per-cluster query lists
     qtab, qslot = _invert_probes(probes, k_pad, qcap)

@@ -1,0 +1,332 @@
+"""Cluster-granular device cache: coded two-stage serving beyond HBM.
+
+The reference serves beyond-RAM DiskANN segments through lazy block reads and
+a (file, offset)-keyed block cache (diskann/segment.go:1151,
+internal/cache/types.go:22-43, two-tier RAM->NVMe engine.go:425-477). The
+round-2 TPU analogue degraded such segments to full-corpus streaming scans
+(62 QPS at 1M over the dev tunnel) — every query batch re-uploaded all rows.
+
+This module is the TPU-native equivalent of the reference's block cache, with
+the IVF CLUSTER as the cache unit (a cluster block is this engine's "disk
+block": contiguous, capacity-capped, probe-addressed):
+
+- The full SQ8-residual coded table lives in HOST memory (numpy), encoded
+  once per segment open — 1 byte/dim/slot, same layout as ops/ivf's
+  IVFCodedTable.
+- The device holds only (a) all K centroids (tiny: K*d*4) for probe
+  selection and (b) a fixed-size cache of C cluster blocks (C*S*(d+12)
+  bytes) updated by LRU on probe misses.
+- Per batch: probes are selected on device against the full centroid set,
+  missing clusters upload as ONE batched H2D + donated scatter (in-place on
+  TPU), probes remap to cache slots, and the standard grouped scan
+  (ops/ivf._scan_groups) runs over the cache. Winners rerank exactly on the
+  host (index/common.rerank_host_rows), as in the other beyond-HBM paths.
+
+Hit economics: repeated/clustered query traffic concentrates probes, so
+steady-state H2D is proportional to the probe-set churn, not the corpus
+(the reference's cache argument, verbatim). Worst case (uniform random
+probes, cold cache) degenerates to ~1 byte/dim/row per batch — the same
+bytes the streaming scan pays every batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import OrderedDict
+from typing import Optional, Tuple
+
+import numpy as np
+
+_UNUSED = None  # lazily-built jnp dummy for IVFCodedTable's unused fields
+
+
+def _encode_host(
+    members: np.ndarray,  # [K, S] int32, -1 padded
+    x: np.ndarray,  # [N, d] f32 host vectors
+    chunk: int = 64,
+) -> dict:
+    """Numpy SQ8-residual encode, chunked over clusters (the host-side twin
+    of ops/ivf._coded_build; member means = the Lloyd update)."""
+    k, s = members.shape
+    n, d = x.shape
+    codes = np.zeros((k, s, d), np.int8)
+    bn = np.full((k, s), np.inf, np.float32)
+    xn = np.full((k, s), np.inf, np.float32)
+    scale = np.zeros(k, np.float32)
+    cent = np.zeros((k, d), np.float32)
+    for c0 in range(0, k, chunk):
+        c1 = min(c0 + chunk, k)
+        m = members[c0:c1]
+        valid = m >= 0
+        v = x[np.maximum(m, 0)].astype(np.float32)
+        v[~valid] = 0.0
+        cnt = valid.sum(axis=1).astype(np.float32)
+        ce = v.sum(axis=1) / np.maximum(cnt, 1.0)[:, None]
+        res = np.where(valid[:, :, None], v - ce[:, None, :], 0.0)
+        sc = np.maximum(np.abs(res).max(axis=(1, 2)) / 127.0, 1e-12)
+        cd = np.clip(np.round(res / sc[:, None, None]), -127, 127).astype(np.int8)
+        rh = cd.astype(np.float32) * sc[:, None, None]
+        codes[c0:c1] = cd
+        bn[c0:c1] = np.where(valid, np.einsum("ksd,ksd->ks", rh, rh), np.inf)
+        xh = ce[:, None, :] + rh
+        xn[c0:c1] = np.where(valid, np.einsum("ksd,ksd->ks", xh, xh), np.inf)
+        scale[c0:c1] = sc
+        cent[c0:c1] = ce
+    cn = np.einsum("kd,kd->k", cent, cent).astype(np.float32)
+    empty = (members >= 0).sum(axis=1) == 0
+    cn[empty] = np.inf  # probing never selects empty clusters
+    return {
+        "codes": codes,
+        "bn": bn,
+        "xn": xn,
+        "rows": np.ascontiguousarray(members, dtype=np.int32),
+        "scale": scale,
+        "cent": cent,
+        "cnorm2": cn,
+    }
+
+
+def _probe_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n_probe",))
+    def _probe(q, cent, cnorm2, n_probe: int):
+        qf = q.astype(jnp.float32)
+        qn = jnp.sum(qf * qf, axis=-1)
+        cd = (
+            qn[:, None]
+            + cnorm2[None, :]
+            - 2.0
+            * jax.lax.dot_general(
+                q.astype(jnp.bfloat16), cent.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        _, probes = jax.lax.top_k(-cd, n_probe)
+        return probes.astype(jnp.int32)
+
+    return _probe
+
+
+def _scan_jit():
+    import jax
+
+    from vecgo_tpu.ops import ivf as ivf_ops
+
+    @functools.partial(jax.jit, static_argnames=("kk", "qcap", "group"))
+    def _scan(qf, table, probes, mask_flat, *, kk, qcap, group):
+        return ivf_ops._scan_groups(
+            qf, table, probes, mask_flat, kk=kk, qcap=qcap, group=group
+        )
+
+    return _scan
+
+
+def _write_jit():
+    import jax
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+    def _write(codes_c, bn_c, rows_c, scale_c, cent_c, slots, bc, bb, br, bs, bce):
+        return (
+            codes_c.at[slots].set(bc),
+            bn_c.at[slots].set(bb),
+            rows_c.at[slots].set(br),
+            scale_c.at[slots].set(bs),
+            cent_c.at[slots].set(bce),
+        )
+
+    return _write
+
+
+class ClusterCachedTable:
+    """Fixed-HBM coded serving table for beyond-HBM graph segments.
+
+    device_bytes ≈ cache_clusters*S*(d+12) + K*(d+8): independent of N.
+    `probe_and_scan` has the same results contract as ops/ivf.ivf_scan
+    (dists vs decoded x̂; segment rows; -1 invalid) minus probes that had to
+    be dropped when a batch's unique probe set exceeds the cache (counted in
+    stats["dropped_probes"])."""
+
+    def __init__(
+        self,
+        members: np.ndarray,  # [K, S] int32 (-1 padded) — e.g. seg.ivf_members
+        vectors: np.ndarray,  # [N, d] f32 host vectors
+        cache_clusters: int = 256,
+        group: int = 8,
+    ):
+        import jax.numpy as jnp
+
+        self.host = _encode_host(np.asarray(members), np.asarray(vectors, np.float32))
+        k, s = self.host["rows"].shape
+        self.k, self.s, self.d = k, s, vectors.shape[1]
+        c = int(min(max(group, cache_clusters), ((k + group - 1) // group) * group))
+        c = ((c + group - 1) // group) * group
+        self.c = c
+        self.group = group
+        self.cent_dev = jnp.asarray(self.host["cent"])
+        self.cnorm2_dev = jnp.asarray(self.host["cnorm2"])
+        # Cache buffers (slot-major). bn=+inf marks empty slots: a probe that
+        # somehow hits an unfilled slot scores nothing.
+        self.codes_c = jnp.zeros((c, s, self.d), jnp.int8)
+        self.bn_c = jnp.full((c, s), jnp.inf, jnp.float32)
+        self.rows_c = jnp.full((c, s), -1, jnp.int32)
+        self.scale_c = jnp.ones((c,), jnp.float32)
+        self.cent_c = jnp.zeros((c, self.d), jnp.float32)
+        self._lru: "OrderedDict[int, int]" = OrderedDict()  # cluster -> slot
+        self._free = list(range(c))[::-1]
+        self._probe = _probe_jit()
+        self._scan = _scan_jit()
+        self._write = _write_jit()
+        self.stats = {
+            "hits": 0, "misses": 0, "h2d_bytes": 0, "dropped_probes": 0,
+            "batches": 0,
+        }
+
+    def device_bytes(self) -> int:
+        return int(
+            self.c * (self.s * (self.d + 4 + 4) + self.d * 4 + 4)
+            + self.k * (self.d * 4 + 4)
+        )
+
+    # ------------------------------------------------------------------
+    def _ensure_cached(self, wanted: np.ndarray) -> dict:
+        """LRU-admit `wanted` clusters (probe-rank order); returns
+        cluster -> slot for everything now resident."""
+        import jax.numpy as jnp
+
+        missing = [int(cl) for cl in wanted if cl not in self._lru]
+        for cl in wanted:
+            cl = int(cl)
+            if cl in self._lru:
+                self._lru.move_to_end(cl)
+        n_admit = min(len(missing), self.c)
+        if n_admit < len(missing):
+            self.stats["dropped_probes"] += len(missing) - n_admit
+            missing = missing[:n_admit]
+        self.stats["hits"] += len(wanted) - len(missing)
+        self.stats["misses"] += len(missing)
+        if missing:
+            wanted_set = set(int(x) for x in wanted)
+            slots = []
+            for cl in missing:
+                if self._free:
+                    slot = self._free.pop()
+                else:
+                    # Evict LRU not wanted by THIS batch.
+                    victim = None
+                    for cand in self._lru:
+                        if cand not in wanted_set:
+                            victim = cand
+                            break
+                    if victim is None:  # whole cache is wanted; drop instead
+                        self.stats["dropped_probes"] += 1
+                        continue
+                    slot = self._lru.pop(victim)
+                slots.append(slot)
+                self._lru[cl] = slot
+                self._lru.move_to_end(cl)
+            admitted = missing[: len(slots)]
+            if slots:
+                h = self.host
+                idx = np.asarray(admitted, np.int64)
+                # Pad the upload to a power-of-two chunk (bounded jit-shape
+                # churn); duplicate the last entry — same slot written twice
+                # with identical data.
+                m = len(slots)
+                mp = 1 << (m - 1).bit_length()
+                pad = mp - m
+                slots_a = np.asarray(slots + [slots[-1]] * pad, np.int32)
+                idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+                (
+                    self.codes_c, self.bn_c, self.rows_c,
+                    self.scale_c, self.cent_c,
+                ) = self._write(
+                    self.codes_c, self.bn_c, self.rows_c, self.scale_c,
+                    self.cent_c,
+                    jnp.asarray(slots_a),
+                    jnp.asarray(h["codes"][idx_p]),
+                    jnp.asarray(h["bn"][idx_p]),
+                    jnp.asarray(h["rows"][idx_p]),
+                    jnp.asarray(h["scale"][idx_p]),
+                    jnp.asarray(h["cent"][idx_p]),
+                )
+                self.stats["h2d_bytes"] += int(
+                    mp * (self.s * (self.d + 4 + 4) + self.d * 4 + 4)
+                )
+        return self._lru
+
+    def probe_and_scan(
+        self,
+        q,  # jnp/np [B, d]
+        n_probe: int,
+        kk: int,
+        qcap: int = 0,
+        row_mask: Optional[np.ndarray] = None,  # [N] bool host mask
+    ) -> Tuple:
+        """Two-stage stage 1 with bounded HBM. Returns (dists [B, P*kk] f32,
+        seg_rows [B, P*kk] i32, -1 invalid)."""
+        import jax.numpy as jnp
+
+        from vecgo_tpu.ops import ivf as ivf_ops
+
+        self.stats["batches"] += 1
+        qd = q if hasattr(q, "dtype") and not isinstance(q, np.ndarray) else jnp.asarray(
+            np.asarray(q, np.float32)
+        )
+        b = qd.shape[0]
+        n_probe = int(min(n_probe, self.k))
+        probes = np.asarray(
+            self._probe(qd, self.cent_dev, self.cnorm2_dev, n_probe)
+        )  # [B, P] host (small D2H)
+        # Admission order = probe rank (rank-0 probes matter most under
+        # cache pressure).
+        wanted = []
+        seen = set()
+        for rank in range(n_probe):
+            for cl in probes[:, rank]:
+                cl = int(cl)
+                if cl not in seen and np.isfinite(self.host["cnorm2"][cl]):
+                    seen.add(cl)
+                    wanted.append(cl)
+        slot_of = self._ensure_cached(np.asarray(wanted, np.int64))
+        # Remap probes to cache slots; missing -> dump (self.c).
+        lut = np.full(self.k + 1, self.c, np.int32)
+        for cl, slot in slot_of.items():
+            lut[cl] = slot
+        probes_m = lut[probes]
+
+        if qcap == 0:
+            qcap = max(32, ((3 * b * n_probe // max(self.c, 1)) + 31) // 32 * 32)
+        qcap = min(qcap, b)
+        mask_flat = None
+        if row_mask is not None:
+            rows_h = self.host["rows"]
+            # Lift the [N] row mask into the CACHED slot space on host (the
+            # cache is small; [C*S] bool uploads per batch are cheap).
+            order = np.asarray(list(slot_of.items()), np.int64)
+            mk = np.zeros((self.c, self.s), bool)
+            if len(order):
+                cls, sls = order[:, 0], order[:, 1]
+                rr = rows_h[cls]
+                mk[sls] = np.asarray(row_mask)[np.maximum(rr, 0)] & (rr >= 0)
+            mask_flat = jnp.asarray(mk.reshape(-1))
+
+        table = ivf_ops.IVFCodedTable(
+            codes=self.codes_c,
+            scale=self.scale_c,
+            bnorm2=self.bn_c,
+            xnorm2=self.bn_c,  # unused by the scan; placeholder of same shape
+            rows=self.rows_c,
+            slot_of_row=self.scale_c.astype(jnp.int32),  # unused placeholder
+            centroids=self.cent_c,
+            cnorm2=self.scale_c,  # unused by _scan_groups
+        )
+        return self._scan(
+            qd.astype(jnp.float32), table, jnp.asarray(probes_m), mask_flat,
+            kk=kk, qcap=qcap, group=self.group,
+        )
+
+
+__all__ = ["ClusterCachedTable"]
