@@ -49,7 +49,7 @@ def make_distribution(kind: str, n: int, d: int, rng):
     return x, cats
 
 
-def run_config(kind, n, d, batch, k, selectivity, engine_opts):
+def run_config(kind, n, d, batch, k, selectivity, engine_opts, compact=False):
     import vecgo_tpu as vecgo
     from vecgo_tpu import metadata as md
     from vecgo_tpu.utils import testutil as tu
@@ -61,13 +61,24 @@ def run_config(kind, n, d, batch, k, selectivity, engine_opts):
     ids = db.insert_batch(x, metadatas=[{"cat": int(c)} for c in cats])
     log(f"  [{kind}] committing (flush -> segment)...")
     db.commit()
+    if compact:
+        # Graphs come from compaction (reference: flat on flush, DiskANN at
+        # merge) — compact so the suite measures GRAPH-segment serving.
+        log(f"  [{kind}] compacting (graph build)...")
+        t0 = time.perf_counter()
+        db.compact([h.seg_id for h in db.engine._segments])
+        out_extra = {"compact_s": round(time.perf_counter() - t0, 1)}
+    else:
+        out_extra = {}
     log(f"  [{kind}] searching...")
 
     q = x[rng.integers(0, n, batch)] + 0.05 * rng.standard_normal(
         (batch, d)
     ).astype(np.float32)
 
-    out = {"dist": kind, "n": n, "d": d, "batch": batch}
+    out = {"dist": kind, "n": n, "d": d, "batch": batch, **out_extra}
+    if compact:
+        out["segment"] = type(db.engine._segments[0].segment).__name__
     # unfiltered
     t0 = time.perf_counter()
     res = db.search_batch(q, k=k)
@@ -90,12 +101,24 @@ def run_config(kind, n, d, batch, k, selectivity, engine_opts):
     t0 = time.perf_counter()
     db.search_arrays(qb_dev, k=k)
     out["pipelined_qps"] = round(nq_bulk / (time.perf_counter() - t0), 1)
+    # Fast graph profile: no refine round, no f32 pool rescore (the bench's
+    # measured serving config — recall ~0.96 at 1M vs ~1.0 exact).
+    fast_kw = dict(
+        graph_refine=0, graph_rescore=False, nprobes=6, graph_qcap_factor=1.5
+    )
+    db.search_arrays(qb_dev, k=k, **fast_kw)  # warm
+    t0 = time.perf_counter()
+    ids_fast, _ = db.search_arrays(qb_dev, k=k, **fast_kw)
+    out["pipelined_fast_qps"] = round(nq_bulk / (time.perf_counter() - t0), 1)
     # recall vs host brute force on a query subsample
     sub = min(64, batch)
     _, ti = tu.brute_force_knn(q[:sub], x, k, "l2")
     got = np.asarray([[c.id for c in r] + [-1] * (k - len(r)) for r in res[:sub]])
     want = np.asarray([[ids[j] for j in row] for row in ti])
     out["recall"] = round(tu.recall_at_k(got, want), 4)
+    out["fast_recall"] = round(
+        tu.recall_at_k(np.asarray(ids_fast[:sub]), want), 4
+    )
 
     # single-query latency percentiles (reference: baseline.txt:84 P50/P95/P99)
     lat = []
@@ -146,6 +169,14 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--selectivity", type=float, default=0.1)
     ap.add_argument("--quantizer", default="none")
+    ap.add_argument(
+        "--compact", action="store_true",
+        help="compact after commit so serving runs on GRAPH segments",
+    )
+    ap.add_argument(
+        "--dists", default="",
+        help="comma-separated subset of distributions (default: all five)",
+    )
     args = ap.parse_args()
 
     try:
@@ -159,10 +190,14 @@ def main():
     if args.quantizer != "none":
         opts["quantizer"] = args.quantizer
     rows = []
-    for kind in ["uniform", "clustered", "zipf", "correlated", "adversarial"]:
+    kinds = ["uniform", "clustered", "zipf", "correlated", "adversarial"]
+    if args.dists:
+        kinds = [k for k in kinds if k in args.dists.split(",")]
+    for kind in kinds:
         log(f"running {kind}...")
         row = run_config(
-            kind, args.n, args.d, args.batch, args.k, args.selectivity, opts
+            kind, args.n, args.d, args.batch, args.k, args.selectivity, opts,
+            compact=args.compact,
         )
         rows.append(row)
         print(json.dumps(row), flush=True)

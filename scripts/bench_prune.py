@@ -148,6 +148,15 @@ def run():
         "full prune gram L=72 occ32 block=65536",
         lambda: bf._prune_all(cand, x16, rn, x_occ, rn_occ, R, 1.5, 65536),
     )
+    # pick_batch x block: fewer scan steps (L/m) vs a longer unrolled
+    # within-batch triangular pass; block grows rows per dispatch.
+    for blk, pb in ((8192, 16), (32768, 8), (32768, 16), (65536, 16)):
+        timed(
+            f"full prune gram L=72 occ32 block={blk} pick={pb}",
+            lambda blk=blk, pb=pb: bf._prune_all(
+                cand, x16, rn, x_occ, rn_occ, R, 1.5, blk, pick_batch=pb
+            ),
+        )
 
 
 if __name__ == "__main__":

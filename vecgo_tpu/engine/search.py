@@ -29,6 +29,7 @@ TPU-first restructuring:
 from __future__ import annotations
 
 import functools
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any, List, Optional
@@ -54,8 +55,10 @@ _MAX_SLOTS = 64
 _VIS_MARGIN = 6
 _VIS_MARGIN_CAP = 64
 
-# Pipelined search chunk (queries per device program).
-CHUNK_B = 1024
+# Pipelined search chunk (queries per device program). Larger chunks
+# amortize per-program dispatch and improve MXU utilization at the cost of
+# peak intermediate memory; sweepable for tuning (scripts/probe_engine_phases).
+CHUNK_B = int(os.environ.get("VECGO_CHUNK_B", "1024"))
 
 
 def can_prune_segment(stats: dict, fs) -> bool:
@@ -315,7 +318,18 @@ def _dispatch_chunk(plan: _Plan, qd, opts, options):
             seg = src.source
             ef = max(opts.ef or options.ef_search, kk)
             bw = opts.beam_width or options.beam_width
-            d, rows = seg.search(qd, kk, mask=src.mask, ef=ef, beam_width=bw)
+            gkw = {}
+            if opts.graph_refine >= 0:
+                gkw["refine_steps"] = opts.graph_refine
+            if opts.graph_rescore is not None:
+                gkw["rescore"] = opts.graph_rescore
+            if opts.nprobes:
+                gkw["n_probe"] = opts.nprobes
+            if opts.graph_qcap_factor > 0:
+                gkw["qcap_factor"] = opts.graph_qcap_factor
+            d, rows = seg.search(
+                qd, kk, mask=src.mask, ef=ef, beam_width=bw, **gkw
+            )
             # Lockstep traversal: static per-query step budget x beam width
             # nodes expanded, each scoring R neighbors (two-stage IVF path
             # adds its probe matmul, counted as n_probe block scans).
@@ -496,7 +510,66 @@ def search_snapshot(
 
     Returns (ids [B, k] int64 (-1 pad), dists [B, k] f32, locations list of
     per-query [(seg_id, row), ...], stats).
+
+    The whole call is read-only against the snapshot, so it retries once
+    through the jax-0.9.0 executable-reuse dispatch bug (INVALID_ARGUMENT on
+    a previously-good program; utils/devbug.py) after clearing jit caches —
+    the same containment the build's _retry ladder uses.
     """
+    from vecgo_tpu.utils.devbug import _errors
+
+    attempts = 3
+    for attempt in range(attempts):
+        try:
+            return _search_snapshot_impl(
+                snap, pk, q, opts, options, device_budget
+            )
+        except _errors() as e:
+            if "INVALID_ARGUMENT" not in str(e) or attempt == attempts - 1:
+                raise
+            import jax
+            import logging
+
+            logging.getLogger("vecgo_tpu").warning(
+                "search dispatch failed (%s); clearing jit caches + device "
+                "state, retry %d/%d", e, attempt + 1, attempts - 1,
+            )
+            jax.clear_caches()
+            if attempt >= 1:
+                # The persistent compile cache hands the SAME binary back to
+                # a "fresh" recompile, so the runtime still sees the poisoned
+                # executable; a genuinely fresh compile (cache off) is the
+                # build _retry ladder's salted-recompile equivalent.
+                try:
+                    jax.config.update("jax_compilation_cache_dir", None)
+                except Exception:  # noqa: BLE001 — containment only
+                    pass
+            # Device arrays uploaded while the runtime was in the poisoned
+            # state can themselves be bad handles — recompiles keep failing
+            # until the inputs re-upload (observed after compaction's build
+            # sequence: eager ops pass, programs touching segment state
+            # fail; each fresh dispatch fails independently, hence the
+            # ladder rather than a single retry).
+            for h in snap.segments:
+                rel = getattr(h.segment, "release_device", None)
+                if rel is not None:
+                    rel()
+            # Re-route the query through host memory: chunk slicing becomes
+            # numpy + a fresh upload per chunk — different executables than
+            # the poisoned ones (the failure has been observed at an eager
+            # device-array slice).
+            q = np.asarray(q)
+            time.sleep(0.5 * (attempt + 1))
+
+
+def _search_snapshot_impl(
+    snap,
+    pk,
+    q,
+    opts: SearchOptions,
+    options,
+    device_budget=None,
+):
     import jax
     import jax.numpy as jnp
 

@@ -242,7 +242,7 @@ def _descend(
     return w_d, w_i
 
 
-def _prune_blocks(cand_table, vectors, rnorm2, x_occ, rn_occ, r_out: int, alpha: float, block: int, impl: str = "batched", row0: int = 0):
+def _prune_blocks(cand_table, vectors, rnorm2, x_occ, rn_occ, r_out: int, alpha: float, block: int, impl: str = "batched", row0: int = 0, pick_batch: int = 8):
     """RobustPrune every row of cand_table [N_pad, L] (N_pad % block == 0),
     scanning row blocks. Traced helper. Returns [N_pad, r_out].
 
@@ -263,6 +263,7 @@ def _prune_blocks(cand_table, vectors, rnorm2, x_occ, rn_occ, r_out: int, alpha:
             rows, vecs, cands, vectors, rnorm2,
             r_out=r_out, alpha=alpha,
             vectors_occ=x_occ, rnorm2_occ=rn_occ, impl=impl,
+            pick_batch=pick_batch,
         )
         return None, out
 
@@ -273,13 +274,18 @@ def _prune_blocks(cand_table, vectors, rnorm2, x_occ, rn_occ, r_out: int, alpha:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("r_out", "alpha", "block", "salt", "impl")
+    jax.jit,
+    static_argnames=("r_out", "alpha", "block", "salt", "impl", "pick_batch"),
 )
 def _prune_all(
     cand_table, vectors, rnorm2, x_occ, rn_occ,
     r_out: int, alpha: float, block: int, salt: int = 0, impl: str = "batched",
+    pick_batch: int = 8,
 ):
-    out = _prune_blocks(cand_table, vectors, rnorm2, x_occ, rn_occ, r_out, alpha, block, impl)
+    out = _prune_blocks(
+        cand_table, vectors, rnorm2, x_occ, rn_occ, r_out, alpha, block, impl,
+        pick_batch=pick_batch,
+    )
     if salt:
         # Salted retry (utils/devbug): the extra dummy output changes the
         # executable signature so a poisoned runtime slot is bypassed.
@@ -288,18 +294,25 @@ def _prune_all(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("r_out", "alpha", "block", "rev_cap", "salt", "impl")
+    jax.jit,
+    static_argnames=(
+        "r_out", "alpha", "block", "rev_cap", "salt", "impl", "pick_batch"
+    ),
 )
 def _prune_with_reverse(
     graph, vectors, rnorm2, x_occ, rn_occ,
     r_out: int, alpha: float, block: int, rev_cap: int, salt: int = 0,
     impl: str = "batched",
+    pick_batch: int = 8,
 ):
     """Reverse-edge pass + re-prune (reference writer.go:627), fused: build
     sampled in-edges on device, concat with the forward graph, re-prune."""
     rev = _reverse_dev(graph, rev_cap)
     cand = jnp.concatenate([graph, rev], axis=1)
-    out = _prune_blocks(cand, vectors, rnorm2, x_occ, rn_occ, r_out, alpha, block, impl)
+    out = _prune_blocks(
+        cand, vectors, rnorm2, x_occ, rn_occ, r_out, alpha, block, impl,
+        pick_batch=pick_batch,
+    )
     if salt:
         return out, jnp.zeros((salt,), jnp.int32)
     return out
@@ -517,7 +530,9 @@ def build_graph_clustered(
     knn: int = 0,
     n_rand: int = 8,
     rev_cap: int = 0,
-    prune_block: int = 8192,
+    prune_block: int = 0,  # 0 = auto: 32768 at >=128k rows (measured -18%
+    # prune time at 1M vs 8192 — fewer scan dispatches; same math), 8192
+    # below (smaller padding waste; scripts/bench_prune.py sweep).
     kmeans_iters: int = 5,
     cluster_group: int = 0,
     refine_rounds: int = 1,
@@ -583,6 +598,8 @@ def build_graph_clustered(
     knn = knn or max(24, r)
     rev_cap = rev_cap or max(r // 2, 8)
     overlap = max(1, min(overlap, 4))
+    if prune_block <= 0:
+        prune_block = 32768 if n >= 131072 else 8192
 
     # Pad the corpus to a size bucket (compile reuse across builds). Padded
     # rows carry +inf norms: no distance path can ever select them, and the

@@ -333,10 +333,17 @@ class VamanaWriter:
         want_ivf = self.serve_ivf and n >= 4096
         ivf_members = None
         if self.build_mode == "clustered":
+            import jax.numpy as jnp
+
             from vecgo_tpu.index.build_fast import build_graph_clustered
 
+            # Device-resident input: one upload + device norms replaces the
+            # host-prep path (measured: removed ~37 s of host work + upload
+            # overlap at 1M, PERF.md round 2) and keeps compaction on the
+            # same build variant the bench exercises on real TPUs.
             out = build_graph_clustered(
-                x, r=self.r, alpha=self.alpha, seed=self.seed,
+                jnp.asarray(x, jnp.bfloat16),
+                r=self.r, alpha=self.alpha, seed=self.seed,
                 return_membership=want_ivf,
                 **self.build_params,
             )
@@ -630,6 +637,11 @@ class VamanaSegment(common.RowBlobAccess):
         # measure this pass refine_steps=0 explicitly (bench.py).
         refine_steps: int = 1,
         rescore: Optional[bool] = None,  # None = only when refining
+        # Per-cluster query capacity as a multiple of the batch average
+        # (0 = ivf_scan's 3x auto). Tighter qcaps cut the grouped-scan cost
+        # linearly at the price of probe drops — the dominant serving knob
+        # (docs/PERF.md round-2 ablation; bench serves qf=1.5).
+        qcap_factor: float = 0.0,
     ):
         """Returns (dists [B,k], rows [B,k]).
 
@@ -683,8 +695,16 @@ class VamanaSegment(common.RowBlobAccess):
                 if dmask is not None
                 else None
             )
+            qcap = 0
+            if qcap_factor > 0:
+                qcap = max(
+                    32,
+                    (int(qcap_factor * b * n_probe / max(kt, 1)) + 31)
+                    // 32 * 32,
+                )
+                qcap = min(qcap, b)
             sd, srows = ivf_ops.ivf_scan(
-                q, table, n_probe=n_probe, kk=kk, mask_flat=mflat
+                q, table, n_probe=n_probe, kk=kk, mask_flat=mflat, qcap=qcap
             )
             cd, crows = beam_ops._dedup_topk(sd, srows, ef)
             if refine_steps > 0:

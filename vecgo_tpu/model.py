@@ -81,6 +81,14 @@ class SearchOptions:
     nprobes: int = 0  # IVF probes (0 = auto)
     beam_width: int = 0  # graph beam width override (0 = index default)
     ef: int = 0  # graph search list size override (0 = index default)
+    # Graph serving profile (two-stage segments). Defaults (-1/None) keep the
+    # index's exact-leaning behavior: f32 ef-pool rescore + 1 refine round.
+    # The measured fast profile (graph_refine=0, graph_rescore=False) serves
+    # 163k QPS @ recall 0.9575 at 1M vs ~20k exact (docs/PERF.md) — the
+    # reference's RefineFactor/NProbes-style quality/throughput dial.
+    graph_refine: int = -1  # expansion rounds after the IVF shortlist
+    graph_rescore: Optional[bool] = None  # decoded-f32 pool rescore pre-cut
+    graph_qcap_factor: float = 0.0  # scan query-capacity multiple (0 = auto 3x)
     selectivity_cutoff: float = 0.30  # brute-force-with-mask below this selectivity
     with_stats: bool = False
     without_data: bool = False  # skip metadata/payload materialization
