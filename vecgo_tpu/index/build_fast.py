@@ -52,6 +52,18 @@ _PROFILE = bool(__import__("os").environ.get("BUILD_PROFILE"))
 _HOST_RAND = bool(__import__("os").environ.get("BUILD_HOST_RAND"))
 _CANON_OPS = bool(__import__("os").environ.get("BUILD_CANON_OPS"))
 _SORT_MEMBERSHIP = bool(__import__("os").environ.get("BUILD_SORT_MEMBERSHIP"))
+# Measured build defaults (1M×128d ablation, docs/PERF.md round 3):
+# - prune occlusion runs in its OWN 16-dim JL space (partition keeps OCC_DIM=32)
+#   — occlusion is a coarse geometric filter; 16 dims cut prune time ~16% with
+#   recall unchanged on every serving screen. BUILD_PRUNE_OCC_DIM=0 shares the
+#   partition projection (the pre-ablation behavior).
+# - ONE prune pass over [working list | random | reverse-of-knn] replaces
+#   prune + reverse-re-prune: reverse edges come from the descent working
+#   list's top-r (symmetrized KNN) instead of the pruned graph — recall
+#   identical (headline and refine=1 screens), −21% build. BUILD_ONE_PASS=0
+#   restores the two-pass pipeline.
+_PRUNE_OCC_DIM = int(__import__("os").environ.get("BUILD_PRUNE_OCC_DIM", "16"))
+_ONE_PASS = __import__("os").environ.get("BUILD_ONE_PASS", "1") != "0"
 
 
 def _tick(times, name, t0, *arrs):
@@ -677,7 +689,20 @@ def build_graph_clustered(
     else:
         x_occ = x16.astype(jnp.float32)
         rn_occ = rnorm2
-    t0 = _tick(times, "jl_project", t0, x_occ, rn_occ)
+    if _PRUNE_OCC_DIM and _PRUNE_OCC_DIM < min(pdim, d):
+        # Decoupled prune-occlusion space: occlusion is a coarse geometric
+        # filter and tolerates a narrower projection than the partition does
+        # (prune cost scales with occ width; the partition drives serving
+        # recall and keeps the full OCC_DIM).
+        proj_p = _to_dev(
+            (rng.standard_normal((d, _PRUNE_OCC_DIM))
+             / math.sqrt(_PRUNE_OCC_DIM)).astype(ml_dtypes.bfloat16)
+        )
+        x_occ_p = (x16 @ proj_p).astype(jnp.float32)
+        rn_occ_p = jnp.sum(x_occ_p * x_occ_p, axis=1)
+    else:
+        x_occ_p, rn_occ_p = x_occ, rn_occ
+    t0 = _tick(times, "jl_project", t0, x_occ, rn_occ, x_occ_p)
 
     block = min(prune_block, n_full)
     pad_n = n_full  # bucket sizes are block-aligned by construction
@@ -848,22 +873,40 @@ def build_graph_clustered(
         cand_final, x_occ, rn_occ = jax.block_until_ready(
             _ident(cand_final, x_occ, rn_occ)
         )
+    if _ONE_PASS:
+        # Default: reverse candidates from the descent working list's top-r
+        # (symmetrized KNN), folded into the single alpha-prune pass below —
+        # measured recall-identical to the two-pass pipeline at 1M and one
+        # full prune pass cheaper (module-constant comment above).
+        cand_final = jnp.concatenate(
+            [cand_final, _reverse_dev(w_i[:, :r], rev_cap)], axis=1
+        )
     if mesh is not None:
-        # Sharded prune + reverse re-prune: rows split across the mesh, one
-        # ICI all_gather between passes (parallel/engine_shard.sharded_prune).
+        # Sharded prune: rows split across the mesh (one pass by default;
+        # two passes + one ICI all_gather with BUILD_ONE_PASS=0 —
+        # parallel/engine_shard.sharded_prune).
         from vecgo_tpu.parallel.engine_shard import sharded_prune
 
         graph = jax.block_until_ready(
             sharded_prune(
-                cand_final, x16, rnorm2, x_occ, rn_occ, r, alpha, block,
-                rev_cap, mesh,
+                cand_final, x16, rnorm2, x_occ_p, rn_occ_p, r, alpha, block,
+                rev_cap, mesh, one_pass=_ONE_PASS,
             )
         )
         t0 = _tick(times, "prune_sharded", t0, graph)
+    elif _ONE_PASS:
+        graph = _retry(
+            lambda salt=0, impl="batched": _prune_all(
+                cand_final, x16, rnorm2, x_occ_p, rn_occ_p, r, alpha, block,
+                salt=salt, impl=impl,
+            ),
+            "prune(one-pass)",
+        )
+        t0 = _tick(times, "prune_one_pass", t0, graph)
     else:
         graph = _retry(
             lambda salt=0, impl="batched": _prune_all(
-                cand_final, x16, rnorm2, x_occ, rn_occ, r, alpha, block,
+                cand_final, x16, rnorm2, x_occ_p, rn_occ_p, r, alpha, block,
                 salt=salt, impl=impl,
             ),
             "prune",
@@ -873,7 +916,7 @@ def build_graph_clustered(
         # ---- reverse-edge pass + re-prune, fused on device ----
         graph = _retry(
             lambda salt=0, impl="batched": _prune_with_reverse(
-                graph, x16, rnorm2, x_occ, rn_occ, r, alpha, block, rev_cap,
+                graph, x16, rnorm2, x_occ_p, rn_occ_p, r, alpha, block, rev_cap,
                 salt=salt, impl=impl,
             ),
             "prune+reverse",

@@ -133,13 +133,18 @@ def sharded_cluster_knn(
 def sharded_prune(
     cand, x16, rnorm2, x_occ, rn_occ,
     r: int, alpha: float, block: int, rev_cap: int, mesh: Mesh,
+    one_pass: bool = False,
 ):
     """Mesh-sharded RobustPrune + reverse re-prune (the build's FLOP-heavy
     tail, extending the sharded build beyond cluster-KNN — SURVEY §2.3 build
     parallelism). Candidate rows split across every device; the corpus
     replicates; the forward graph all_gathers once over ICI for the reverse
     pass, then each shard re-prunes its slice. Exact same semantics as the
-    single-device _prune_all + _prune_with_reverse pipeline."""
+    single-device _prune_all + _prune_with_reverse pipeline.
+
+    one_pass=True: `cand` already carries reverse candidates (the build's
+    default reverse-of-knn path) — ONE prune pass per shard and no
+    intermediate all_gather at all (matches the single-device default)."""
     from vecgo_tpu.index.build_fast import _prune_blocks, _reverse_dev
 
     axes = tuple(mesh.axis_names)
@@ -164,6 +169,8 @@ def sharded_prune(
         g_loc = _prune_blocks(
             cand_, x16_, rn_, xo_, rno_, r, alpha, lblock, row0=row0
         )
+        if one_pass:
+            return jax.lax.all_gather(g_loc, axes, axis=0, tiled=True)
         g_full = jax.lax.all_gather(g_loc, axes, axis=0, tiled=True)
         rev = _reverse_dev(g_full, rev_cap)
         rev_loc = jax.lax.dynamic_slice_in_dim(rev, row0, local_rows, 0)
