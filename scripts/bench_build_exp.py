@@ -75,11 +75,16 @@ else:
 print("ground truth ready", flush=True)
 
 
+_KNN = int(os.environ.get("EXP_KNN", "0"))
+_NRAND = int(os.environ.get("EXP_NRAND", "8"))
+_REVCAP = int(os.environ.get("EXP_REVCAP", "0"))
+
+
 def one_build():
     t0 = time.perf_counter()
     g, medoid, bc, be, members = build_graph_clustered(
         xd, r=32, alpha=1.5, refine_rounds=0, return_device=True,
-        return_membership=True,
+        return_membership=True, knn=_KNN, n_rand=_NRAND, rev_cap=_REVCAP,
     )
     jax.block_until_ready(g)
     return time.perf_counter() - t0, g, members

@@ -600,14 +600,19 @@ def build_graph_clustered(
             out = out + (np.arange(n, dtype=np.int32)[None, :],)
         return out
 
-    # Width economics (measured at 1M, r=32): the serving path's recall rests
-    # on the IVF shortlist + exact rerank, so graph-build candidate widths
-    # trade build time against refine/legacy quality only. knn=24 per
-    # membership (2 overlap clusters -> 48 union) and a half-degree reverse
-    # cap keep recall-with-refinement >= 0.97 while cutting the top-k and
-    # prune costs ~30%. Widths must still scale with the output degree r:
-    # pruning from a pool narrower than r silently degrades graphs at r > 24.
-    knn = knn or max(24, r)
+    # Width economics (measured at 1M, r=32; scripts/bench_build_exp.py): the
+    # serving path's recall rests on the IVF shortlist + exact rerank, so
+    # graph-build candidate widths trade build time against refine/legacy
+    # quality only. knn=3r/4 per membership (2 overlap clusters -> 1.5r
+    # union) measured recall-IDENTICAL on the headline, p=6, and refine=1
+    # screens at 1M while cutting cluster-KNN ~27% and descent ~24%
+    # (11.3 s -> ~10.2 s). Trimming n_rand/rev_cap as well reached 9.9 s but
+    # broke the SMALL-corpus beam-path recall floor (0.931 < 0.95 at
+    # n=1500/r=24) — long-range random edges and reverse coverage carry the
+    # legacy graph path at small n, so those widths stay. The prune pool
+    # (kw=1.5r working list + n_rand + rev_cap) is never narrower than r,
+    # and knn never drops below 24.
+    knn = knn or max(24, (3 * r) // 4)
     rev_cap = rev_cap or max(r // 2, 8)
     overlap = max(1, min(overlap, 4))
     if prune_block <= 0:
