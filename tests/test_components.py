@@ -525,3 +525,30 @@ def test_minio_store_fallback_cas():
     # ranged read rides the S3 Range header path
     st.put("blob", bytes(range(100)))
     assert st.get_range("blob", 10, 5) == bytes(range(10, 15))
+
+
+def test_hostmem_primitives():
+    """Hugepage-advised allocator + allocation-free bulk validation
+    (utils/hostmem — the ingest path's page-fault containment)."""
+    import numpy as np
+
+    from vecgo_tpu.utils.hostmem import all_finite, huge_arange, huge_empty
+
+    a = huge_empty((1000, 7), np.float32)  # small -> np.empty fallback
+    assert a.shape == (1000, 7) and a.dtype == np.float32
+    b = huge_empty((3 << 20,), np.int8)  # large -> mmap-backed on linux
+    b[:] = 3
+    assert int(b[-1]) == 3 and b.nbytes == 3 << 20
+
+    r = huge_arange(17, 2_000_003)
+    assert r.dtype == np.int64 and len(r) == 2_000_003
+    assert int(r[0]) == 17 and int(r[-1]) == 17 + 2_000_002
+    assert (np.diff(r[:: 500_000]) == 500_000).all()
+
+    x = np.ones((4096, 16), np.float32)
+    assert all_finite(x)
+    for bad in (np.nan, np.inf, -np.inf):
+        x[4095, 15] = bad
+        assert not all_finite(x)
+        x[4095, 15] = 0.0
+    assert all_finite(np.zeros((0, 4), np.float32))

@@ -409,7 +409,12 @@ class Engine:
             if not np.isin(vectors, (0.0, 1.0)).all():
                 raise ErrInvalidVector("hamming metric requires 0/1 vectors")
         if bulk:
-            if not np.isfinite(vectors).all():
+            from vecgo_tpu.utils.hostmem import all_finite, huge_arange
+
+            # Chunked scan: np.isfinite(x).all() materializes a full-size
+            # bool array whose first-touch page faults dominate at slab
+            # scale (utils/hostmem module doc).
+            if not all_finite(vectors):
                 raise ErrInvalidVector("batch contains NaN/Inf")
             self._mem_controller.acquire(n * row_bytes)
             new_ids = None
@@ -433,7 +438,7 @@ class Engine:
                     else:
                         id0 = self._next_id
                         self._next_id += n
-                        new_ids = np.arange(id0, id0 + n, dtype=np.int64)
+                        new_ids = huge_arange(id0, n)
                     lsn0 = self._lsn + 1
                     self._lsn += n
                     row0 = self.memtable.insert_block(
@@ -443,7 +448,7 @@ class Engine:
                     self.pk.upsert_block(
                         new_ids,
                         MEMTABLE_SEG,
-                        np.arange(row0, row0 + n, dtype=np.int64),
+                        huge_arange(row0, n),
                         lsn0,
                     )
                     obs = self.options.observer

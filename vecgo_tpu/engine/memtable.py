@@ -30,6 +30,7 @@ import numpy as np
 from vecgo_tpu.errors import ErrDimensionMismatch, ErrInvalidVector
 from vecgo_tpu.metadata.columnar import ColumnarMeta
 from vecgo_tpu.model import Metric
+from vecgo_tpu.utils.hostmem import huge_arange, huge_empty
 
 CHUNK = 8192
 MIN_CAPACITY = 1024
@@ -42,20 +43,29 @@ _COPY_THREADS = min(8, os.cpu_count() or 1)
 
 
 def _fast_copy(x: np.ndarray) -> np.ndarray:
-    """Defensive bulk copy at memory speed: np.empty target (no calloc
-    pre-zeroing) + parallel range copies (np.copyto releases the GIL), which
-    overlaps the first-touch page faults across cores. Measured ~2.8 GB/s vs
-    ~1.2 GB/s for a single-threaded copy into fresh zeros (the round-2 bulk
-    ingest bottleneck)."""
+    """Defensive bulk copy at memory speed: hugepage-advised np.empty target
+    (utils/hostmem — first-touch page faults are the dominant cost of a big
+    fresh copy; hugepages cut the fault count 512x) + parallel range copies
+    (np.copyto releases the GIL) to overlap the remaining faults across
+    cores. Measured ~2.8 GB/s multi-core vs ~1.2 GB/s for a single-threaded
+    copy into fresh zeros (the round-2 bulk ingest bottleneck); on the
+    page-fault-throttled dev VM the hugepage target is the difference
+    between 11 MB/s and GB/s."""
     global _COPY_POOL
+    from vecgo_tpu.utils.hostmem import huge_empty_like
+
     x = np.ascontiguousarray(x, np.float32)
-    if x.shape[0] < 65536 or _COPY_THREADS == 1:
+    if x.shape[0] < 65536:
         return x.copy()
+    if _COPY_THREADS == 1:
+        out = huge_empty_like(x)
+        np.copyto(out, x)
+        return out
     if _COPY_POOL is None:
         from concurrent.futures import ThreadPoolExecutor
 
         _COPY_POOL = ThreadPoolExecutor(_COPY_THREADS)
-    out = np.empty_like(x)
+    out = huge_empty_like(x)
     step = (x.shape[0] + _COPY_THREADS - 1) // _COPY_THREADS
 
     def cp(i):
@@ -109,11 +119,13 @@ class MemTable:
         if need <= self._cap:
             return
         cap = max(MIN_CAPACITY, 1 << int(need - 1).bit_length())
-        ids = np.zeros(cap, np.int64)
+        ids = huge_empty(cap, np.int64)
         ids[: self._n] = self._ids[: self._n]
+        ids[self._n :] = 0
         self._ids = ids
-        lsns = np.zeros(cap, np.int64)
+        lsns = huge_empty(cap, np.int64)
         lsns[: self._n] = self._lsns[: self._n]
+        lsns[self._n :] = 0
         self._lsns = lsns
         self._cap = cap
 
@@ -233,9 +245,9 @@ class MemTable:
             self._freeze_tail()
             self._append_slab(vectors)
             self._ids[row0 : row0 + n] = (
-                ids if ids is not None else np.arange(id0, id0 + n, dtype=np.int64)
+                ids if ids is not None else huge_arange(id0, n)
             )
-            self._lsns[row0 : row0 + n] = np.arange(lsn0, lsn0 + n, dtype=np.int64)
+            self._lsns[row0 : row0 + n] = huge_arange(lsn0, n)
             if metadatas is None:
                 self.docs.extend([None] * n)
             else:

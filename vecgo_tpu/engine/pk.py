@@ -104,12 +104,14 @@ class PKIndex:
     ) -> None:
         """Register a bulk batch: ids sorted ascending and FRESH (never seen
         by this index); rows aligned; entry i has LSN lsn0 + i."""
+        from vecgo_tpu.utils.hostmem import huge_arange
+
         with self._lock:
             self._blocks.append(
                 _Block(
                     np.asarray(ids, np.int64),
                     np.asarray(rows, np.int64),
-                    lsn0 + np.arange(len(ids), dtype=np.int64),
+                    huge_arange(lsn0, len(ids)),
                     seg_id,
                 )
             )
