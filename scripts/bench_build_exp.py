@@ -59,7 +59,9 @@ q = centers[rng.integers(0, 1024, NQ)] + 0.35 * rng.standard_normal(
 xd = jax.block_until_ready(jnp.asarray(x, jnp.bfloat16))
 qd = jnp.asarray(q)
 
-_gt_cache = f"/tmp/bench_gt_{N}_{D}.npy"
+# Cache key covers every corpus/GT parameter (seed 42, 1024 centers, 0.35
+# noise, NQ queries, K_AT) — editing the generator invalidates the cache.
+_gt_cache = f"/tmp/bench_gt_{N}_{D}_s42_c1024_n035_q{NQ}_k{K_AT}.npy"
 if os.path.exists(_gt_cache):
     gt_i = np.load(_gt_cache)
 else:

@@ -39,6 +39,7 @@ from vecgo_tpu.index.vamana import VamanaSegment, VamanaWriter
 from vecgo_tpu.metadata import Schema
 from vecgo_tpu.model import Candidate, Metric, SearchOptions, SearchResult
 from vecgo_tpu.storage import container
+from vecgo_tpu.utils.hostmem import all_finite, huge_arange
 
 
 @dataclass
@@ -409,9 +410,7 @@ class Engine:
             if not np.isin(vectors, (0.0, 1.0)).all():
                 raise ErrInvalidVector("hamming metric requires 0/1 vectors")
         if bulk:
-            from vecgo_tpu.utils.hostmem import all_finite, huge_arange
-
-            # Chunked scan: np.isfinite(x).all() materializes a full-size
+            # Reduction scan: np.isfinite(x).all() materializes a full-size
             # bool array whose first-touch page faults dominate at slab
             # scale (utils/hostmem module doc).
             if not all_finite(vectors):

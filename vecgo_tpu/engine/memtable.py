@@ -30,7 +30,7 @@ import numpy as np
 from vecgo_tpu.errors import ErrDimensionMismatch, ErrInvalidVector
 from vecgo_tpu.metadata.columnar import ColumnarMeta
 from vecgo_tpu.model import Metric
-from vecgo_tpu.utils.hostmem import huge_arange, huge_empty
+from vecgo_tpu.utils.hostmem import fill_arange, huge_empty, huge_empty_like
 
 CHUNK = 8192
 MIN_CAPACITY = 1024
@@ -52,8 +52,6 @@ def _fast_copy(x: np.ndarray) -> np.ndarray:
     page-fault-throttled dev VM the hugepage target is the difference
     between 11 MB/s and GB/s."""
     global _COPY_POOL
-    from vecgo_tpu.utils.hostmem import huge_empty_like
-
     x = np.ascontiguousarray(x, np.float32)
     if x.shape[0] < 65536:
         return x.copy()
@@ -244,10 +242,11 @@ class MemTable:
             self._ensure(row0 + n)
             self._freeze_tail()
             self._append_slab(vectors)
-            self._ids[row0 : row0 + n] = (
-                ids if ids is not None else huge_arange(id0, n)
-            )
-            self._lsns[row0 : row0 + n] = huge_arange(lsn0, n)
+            if ids is not None:
+                self._ids[row0 : row0 + n] = ids
+            else:
+                fill_arange(self._ids[row0 : row0 + n], id0)
+            fill_arange(self._lsns[row0 : row0 + n], lsn0)
             if metadatas is None:
                 self.docs.extend([None] * n)
             else:

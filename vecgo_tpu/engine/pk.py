@@ -23,6 +23,8 @@ from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
+from vecgo_tpu.utils.hostmem import huge_arange
+
 MEMTABLE_SEG = -1
 
 # chain entry: (lsn, seg_id, row); deletes encoded as seg_id == DELETED
@@ -104,8 +106,6 @@ class PKIndex:
     ) -> None:
         """Register a bulk batch: ids sorted ascending and FRESH (never seen
         by this index); rows aligned; entry i has LSN lsn0 + i."""
-        from vecgo_tpu.utils.hostmem import huge_arange
-
         with self._lock:
             self._blocks.append(
                 _Block(

@@ -871,13 +871,6 @@ def build_graph_clustered(
             randc = _rand_cand(pad_n, n, n_rand, seed)
         cand_final = jnp.concatenate([cand_final, randc], axis=1)
     t0 = _tick(times, "rand_cand", t0, cand_final)
-    if _CANON_OPS:
-        # Diagnostic/workaround: re-materialize prune operands through a
-        # compiled identity (canonical layouts) before the prune dispatch.
-        _ident = jax.jit(lambda a, b, c: (a + 0, b + 0.0, c + 0.0))
-        cand_final, x_occ, rn_occ = jax.block_until_ready(
-            _ident(cand_final, x_occ, rn_occ)
-        )
     if _ONE_PASS:
         # Default: reverse candidates from the descent working list's top-r
         # (symmetrized KNN), folded into the single alpha-prune pass below —
@@ -885,6 +878,14 @@ def build_graph_clustered(
         # full prune pass cheaper (module-constant comment above).
         cand_final = jnp.concatenate(
             [cand_final, _reverse_dev(w_i[:, :r], rev_cap)], axis=1
+        )
+    if _CANON_OPS:
+        # Diagnostic/workaround: re-materialize the ACTUAL prune operands
+        # (after the one-pass concat, in the decoupled occlusion space)
+        # through a compiled identity — canonical layouts before dispatch.
+        _ident = jax.jit(lambda a, b, c: (a + 0, b + 0.0, c + 0.0))
+        cand_final, x_occ_p, rn_occ_p = jax.block_until_ready(
+            _ident(cand_final, x_occ_p, rn_occ_p)
         )
     if mesh is not None:
         # Sharded prune: rows split across the mesh (one pass by default;
