@@ -552,3 +552,25 @@ def test_hostmem_primitives():
         assert not all_finite(x)
         x[4095, 15] = 0.0
     assert all_finite(np.zeros((0, 4), np.float32))
+
+
+def test_hostmem_backends_all_modes():
+    """Every calibration outcome must produce a correct, writable buffer."""
+    import numpy as np
+
+    import vecgo_tpu.utils.hostmem as hm
+
+    saved = hm._mode
+    try:
+        for mode in ("plain", "shared", "private"):
+            if mode != "plain" and hm._libc is None:
+                continue  # non-linux: only the fallback exists
+            hm._mode = mode
+            a = hm.huge_empty((4 << 20,), np.uint8)
+            a[:] = 9
+            assert int(a[0]) == 9 and int(a[-1]) == 9
+            f = hm.huge_empty((1 << 20, 4), np.float32)
+            f[:] = 2.5
+            assert float(f[-1, -1]) == 2.5
+    finally:
+        hm._mode = saved

@@ -694,11 +694,14 @@ def build_graph_clustered(
     else:
         x_occ = x16.astype(jnp.float32)
         rn_occ = rnorm2
-    if _PRUNE_OCC_DIM and _PRUNE_OCC_DIM < min(pdim, d):
+    if _PRUNE_OCC_DIM and _PRUNE_OCC_DIM < min(pdim, d) and n_full >= 100_000:
         # Decoupled prune-occlusion space: occlusion is a coarse geometric
         # filter and tolerates a narrower projection than the partition does
         # (prune cost scales with occ width; the partition drives serving
-        # recall and keeps the full OCC_DIM).
+        # recall and keeps the full OCC_DIM). Large-n only: the 1M serving
+        # screens are recall-neutral, but small corpora (n<=~10k, where every
+        # edge matters and the prune pool is thin) measurably lose graph
+        # recall under the 16-dim space — and their prune is cheap anyway.
         proj_p = _to_dev(
             (rng.standard_normal((d, _PRUNE_OCC_DIM))
              / math.sqrt(_PRUNE_OCC_DIM)).astype(ml_dtypes.bfloat16)

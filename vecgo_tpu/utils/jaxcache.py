@@ -27,20 +27,26 @@ def _env_fingerprint() -> str:
         os.environ.get("JAX_PLATFORMS", ""),
         os.environ.get("PALLAS_AXON_REMOTE_COMPILE", ""),
     ]
+    # CPU identity: XLA:CPU AOT executables embed LLVM *tuning* features
+    # (+prefer-no-scatter / +prefer-no-gather) chosen from the CPU MODEL, not
+    # the ISA flags line — a live-migration to a different SKU keeps boot_id
+    # and the flags line but changes the tuning set, and stale cache entries
+    # then deserialize into programs with mismatched buffer signatures
+    # (INVALID_ARGUMENT "supplied 5 buffers but expected 6"). Fingerprint the
+    # model/stepping and core count alongside the flags so a migration (or a
+    # resize) rotates the cache directory.
     try:
+        wanted = ("flags", "model name", "model\t", "stepping")
+        seen = set()
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                key = line.split(":", 1)[0].strip()
+                if line.startswith(wanted) and key not in seen:
+                    seen.add(key)
                     parts.append(line.strip())
-                    break
+        parts.append(f"ncpu={os.cpu_count()}")
     except OSError:
         pass
-    # Boot identity: /proc/cpuinfo flags are identical across similar VMs, but
-    # XLA:CPU AOT executables embed finer-grained machine/tuning features
-    # (+prefer-no-scatter etc.) — entries serialized on one host deserialize
-    # on another into programs with mismatched buffer signatures
-    # (INVALID_ARGUMENT "supplied 5 buffers but expected 6"). Scope the cache
-    # to one boot: still cross-process, never cross-machine.
     try:
         with open("/proc/sys/kernel/random/boot_id") as f:
             parts.append(f.read().strip())
