@@ -149,3 +149,184 @@ def test_engine_beyond_hbm_uses_cluster_cache():
     assert tu.recall_at_k(got, want) >= 0.9
     e1.close()
     e2.close()
+
+
+class _CountingStore(MemoryStore):
+    """MemoryStore that meters ranged-read traffic (the cloud-tier bytes)."""
+
+    def __init__(self):
+        super().__init__()
+        self.range_bytes = 0
+        self.full_gets = 0
+
+    def get_range(self, name, offset, length):
+        self.range_bytes += length
+        self._in_range = True
+        try:
+            return super().get_range(name, offset, length)
+        finally:
+            self._in_range = False
+
+    def get(self, name):
+        # MemoryStore.get_range delegates to get() internally; count only
+        # EXTERNAL whole-object reads (the anti-pattern the cloud tier avoids).
+        if not getattr(self, "_in_range", False):
+            self.full_gets += 1
+        return super().get(name)
+
+
+def _coded_blob(x, seed=90):
+    from vecgo_tpu.index.vamana import VamanaWriter
+
+    w = VamanaWriter(x.shape[1], store_codes=True, ivf_capacity=256, seed=seed)
+    w.add_batch(x, np.arange(len(x)))
+    return w.finish()
+
+
+def test_store_codes_cloud_serving_is_block_granular():
+    """A codes-stored segment opened from a remote store serves WITHOUT ever
+    reading its vectors or full code table: the open skips both sections, and
+    a query batch reads only the probed cluster blocks + the reranked rows
+    (reference: diskann lazy block reads, segment.go:1151)."""
+    from vecgo_tpu.index.vamana import VamanaSegment
+    from vecgo_tpu.ops.ivf_cache import LazyHostTable
+
+    x, _ = tu.clustered_vectors(6000, D, n_clusters=16, seed=91)
+    blob = _coded_blob(x)
+    st = _CountingStore()
+    st.put("seg.vgt", blob)
+
+    seg = VamanaSegment.open_lazy(st, "seg.vgt")
+    open_bytes = st.range_bytes
+    assert seg._vectors_arr is None  # vectors deferred
+    vec_bytes = x.nbytes
+    assert open_bytes < len(blob) - vec_bytes  # skipped vectors AND codes
+
+    q = x[5:21]
+    _, rows = seg.search_cached(q, 10)
+    d_exact = np.asarray(seg.rerank_host(q, np.asarray(rows)))
+    serve_bytes = st.range_bytes - open_bytes
+    assert serve_bytes < vec_bytes  # O(blocks), not O(corpus)
+    assert st.full_gets == 0
+    assert isinstance(seg._ccache.host, LazyHostTable)
+    assert seg._vectors_arr is None  # rerank gathered rows, not the section
+
+    order = np.argsort(d_exact, axis=1)
+    got = np.take_along_axis(np.asarray(rows), order, 1)[:, :10]
+    _, ti = tu.brute_force_knn(q, x, 10, "l2")
+    assert tu.recall_at_k(got, ti) >= 0.9
+
+    # Warm cache: the same batch re-reads nothing from the store.
+    before = st.range_bytes
+    seg.search_cached(q, 10)
+    assert st.range_bytes == before
+
+
+def test_store_codes_lazy_rerank_matches_memory():
+    """Deferred-row rerank (ranged gathers) == in-memory rerank, bit-for-bit
+    on the same candidate rows."""
+    from vecgo_tpu.index.vamana import VamanaSegment
+
+    x, _ = tu.clustered_vectors(5000, D, n_clusters=12, seed=92)
+    blob = _coded_blob(x, seed=93)
+    st = MemoryStore()
+    st.put("seg.vgt", blob)
+    lazy_seg = VamanaSegment.open_lazy(st, "seg.vgt")
+    full_seg = VamanaSegment.open(blob)
+
+    rng = np.random.default_rng(94)
+    q = x[rng.choice(len(x), 8, replace=False)]
+    rows = rng.integers(0, len(x), (8, 12)).astype(np.int32)
+    rows[0, :3] = -1  # invalid markers must stay +inf
+    d_lazy = np.asarray(lazy_seg.rerank_host(q, rows))
+    d_full = np.asarray(full_seg.rerank_host(q, rows))
+    assert lazy_seg._vectors_arr is None
+    np.testing.assert_array_equal(np.isinf(d_lazy), np.isinf(d_full))
+    np.testing.assert_allclose(d_lazy, d_full, rtol=1e-6, atol=1e-6)
+
+
+def test_store_codes_local_open_skips_reencode():
+    """A local (bytes) open of a codes-stored segment builds its cluster
+    cache from the persisted sections (MemHostTable over ivfq.*), not a
+    fresh host encode — and serves the same candidates."""
+    from vecgo_tpu.index.vamana import VamanaSegment
+    from vecgo_tpu.ops.ivf_cache import MemHostTable
+
+    x, _ = tu.clustered_vectors(5000, D, n_clusters=12, seed=95)
+    blob = _coded_blob(x, seed=96)
+    seg = VamanaSegment.open(blob)
+    assert seg._ivfq is not None
+    cc = seg.cluster_cache()
+    assert isinstance(cc.host, MemHostTable)
+    assert cc.host._codes is seg._ivfq["codes"]  # zero-copy, no re-encode
+
+    q = x[:8]
+    _, rows = seg.search_cached(q, 10)
+    d_exact = np.asarray(seg.rerank_host(q, np.asarray(rows)))
+    got = np.take_along_axis(
+        np.asarray(rows), np.argsort(d_exact, axis=1), 1
+    )[:, :10]
+    _, ti = tu.brute_force_knn(q, x, 10, "l2")
+    assert tu.recall_at_k(got, ti) >= 0.9
+
+
+def test_engine_store_codes_cloud_reopen():
+    """Engine-level cloud story: compaction persists codes; a REOPEN from the
+    (remote) store defers vectors and serves the over-budget graph segment
+    through store-fed cluster blocks at near-exact recall."""
+    x, _ = tu.clustered_vectors(6000, D, n_clusters=16, seed=97)
+    st = _CountingStore()
+    opts = EngineOptions(
+        dim=D, flush_threshold=10_000_000, graph_threshold=2000,
+        compaction_threshold=2, store_codes=True,
+    )
+    e1 = Engine.open(st, opts, create=True)
+    ids = list(e1.insert_batch(x[:3000]))
+    e1.commit()
+    ids += list(e1.insert_batch(x[3000:]))
+    e1.commit()
+    seg = e1._segments[0].segment
+    assert (seg.meta.get("ivf") or {}).get("codes_stored")
+    budget = (seg.cache_bytes() + seg.device_bytes()) // 2
+    e1.close()
+
+    st.range_bytes = 0
+    st.full_gets = 0
+    opts2 = EngineOptions(dim=D, hbm_budget_bytes=budget)
+    e2 = Engine.open(st, opts2)
+    seg2 = e2._segments[0].segment
+    assert seg2._vectors_arr is None
+    q = x[5:21]
+    res = e2.search_batch(q, k=10)
+    assert seg2._ccache is not None and seg2._ccache.stats["batches"] > 0
+    assert seg2._vectors_arr is None  # never materialized
+    # Total store traffic (open: graph/ids/norms + serve: cluster blocks +
+    # rerank rows) stays well under the blob — the vectors and full code
+    # table never moved.
+    blob_len = len(st.get(e2._segments[0].info.name))
+    assert st.range_bytes < blob_len - x.nbytes
+    _, ti = tu.brute_force_knn(q, x, 10, "l2")
+    got = np.asarray([[c.id for c in r] + [-1] * (10 - len(r)) for r in res])
+    want = np.asarray([[ids[j] for j in row] for row in ti])
+    assert tu.recall_at_k(got, want) >= 0.9
+    e2.close()
+
+
+def test_container_load_rows():
+    """Ranged row reads of a section == full-load slices; compressed sections
+    fall back to a correct full-load path."""
+    from vecgo_tpu.storage import container
+
+    rng = np.random.default_rng(98)
+    a = rng.standard_normal((100, 7)).astype(np.float32)
+    b = np.zeros((50, 3, 4), np.int8)  # compressible: deflate pass keeps it
+    b[::7] = 3
+    for compress in (None, "deflate"):
+        blob = container.pack_container({"x": 1}, {"a": a, "b": b}, compress)
+        st = MemoryStore()
+        st.put("c", blob)
+        lc = container.LazyContainer(st, "c")
+        np.testing.assert_array_equal(lc.load_rows("a", 10, 20), a[10:20])
+        np.testing.assert_array_equal(lc.load_rows("b", 0, 50), b)
+        np.testing.assert_array_equal(lc.load_rows("b", 49, 99), b[49:])
+        assert lc.load_rows("a", 5, 5).shape == (0, 7)

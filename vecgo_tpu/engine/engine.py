@@ -76,6 +76,7 @@ class EngineOptions:
     ef_search: int = 64
     beam_width: int = 4
     serve_compact: bool = False  # coded-table repack: half HBM, ~2x probes
+    store_codes: bool = False  # persist ivfq.* codes: cloud opens serve via ranged reads
     selectivity_cutoff: float = 0.30
     lexical: bool = False  # BM25 over insert(text=...)
     observer: Any = None  # MetricsObserver
@@ -870,6 +871,7 @@ class Engine:
                 qparams=self.options.qparams,
                 seed=self.options.seed,
                 compress=self.options.compress_segments,
+                store_codes=self.options.store_codes,
             )
             kind = "vamana"
         else:

@@ -282,6 +282,7 @@ class VamanaWriter:
         build_params: Optional[dict] = None,
         serve_ivf: bool = True,
         ivf_capacity: int = 512,
+        store_codes: bool = False,
     ):
         """build_mode: "clustered" (default — cluster-local KNN + RobustPrune,
         index/build_fast.py, ~16x faster than beam at 1M) or "beam" (the
@@ -306,6 +307,13 @@ class VamanaWriter:
         self.build_params = dict(build_params or {})
         self.serve_ivf = serve_ivf
         self.ivf_capacity = ivf_capacity
+        # Persist the SQ8-residual coded table (`ivfq.*` sections) so remote
+        # opens can serve from block-granular ranged reads without ever
+        # downloading the vectors (reference: codes ARE the on-disk serving
+        # payload, diskann/writer.go + segment.go:503-708). Off by default:
+        # local serving re-encodes from vectors at open (cheaper than +1
+        # byte/dim/slot on every blob for stores that never go remote).
+        self.store_codes = store_codes
         self.quantizer_kind = quantizer
         self.qparams = dict(qparams or {})
         self.seed = seed
@@ -394,6 +402,20 @@ class VamanaWriter:
                 "k": int(ivf_members.shape[0]),
                 "coded": True,
             }
+            if self.store_codes:
+                # Persisted coded table (cluster-major: one cluster = one
+                # contiguous byte range = one lazy block read).
+                from vecgo_tpu.ops.ivf_cache import _encode_host
+
+                h = _encode_host(
+                    np.asarray(ivf_members), np.asarray(x, np.float32)
+                )
+                sections["ivfq.codes"] = h["codes"]
+                sections["ivfq.bn"] = h["bn"]
+                sections["ivfq.scale"] = h["scale"]
+                sections["ivfq.cent"] = h["cent"]
+                sections["ivfq.cnorm2"] = h["cnorm2"]
+                ivf_meta["codes_stored"] = True
 
 
         meta = {
@@ -444,7 +466,10 @@ class VamanaSegment(common.RowBlobAccess):
         self.medoid = int(meta["medoid"])
         self.r = int(meta["r"])
         self.ids: np.ndarray = sections["ids"]
-        self.vectors: np.ndarray = sections["vectors"]
+        # Deferred on cloud opens of codes-stored segments (the `vectors`
+        # property materializes with one ranged read on first touch; the
+        # serving paths below never touch it).
+        self._vectors_arr: Optional[np.ndarray] = sections.get("vectors")
         self.rnorm2: np.ndarray = sections["rnorm2"]
         self.lsns: np.ndarray = sections.get("lsns", np.zeros(self.n, np.int64))
         self.graph: np.ndarray = sections["graph"]
@@ -455,12 +480,36 @@ class VamanaSegment(common.RowBlobAccess):
         self.ivf_members: Optional[np.ndarray] = sections.get("ivf.members")
         self.ivf_centroids: Optional[np.ndarray] = sections.get("ivf.centroids")
         self.cm = ColumnarMeta.from_sections(meta["metadata"], sections)
+        # Persisted coded table sections (writer store_codes=True), when the
+        # open materialized them (local/mmap opens; cloud opens leave them in
+        # the store and read cluster blocks lazily).
+        self._ivfq = (
+            {
+                "codes": sections["ivfq.codes"],
+                "bn": sections["ivfq.bn"],
+                "scale": sections["ivfq.scale"],
+                "cent": sections["ivfq.cent"],
+                "cnorm2": sections["ivfq.cnorm2"],
+            }
+            if "ivfq.codes" in sections
+            else None
+        )
         self._attach_row_blobs(sections, lazy)
         self._dev = None
         self._rerank_fn = None
         self._scan_score_fn = None
         self._stream = None
         self._ccache = None
+
+    @property
+    def vectors(self) -> np.ndarray:
+        """Full-precision rows. On a cloud open of a codes-stored segment this
+        is DEFERRED — first touch pulls the whole section with one ranged read
+        (resident serving, compaction, iteration); the beyond-HBM serving
+        paths (cluster_cache / rerank_host) never touch it."""
+        if self._vectors_arr is None:
+            self._vectors_arr = self._lazy.load("vectors")
+        return self._vectors_arr
 
     @staticmethod
     def open(data: bytes, seg_id: int = 0, verify_checksum: bool = True) -> "VamanaSegment":
@@ -477,7 +526,14 @@ class VamanaSegment(common.RowBlobAccess):
         """Remote open via ranged reads; docs/payload sections deferred
         (reference: diskann lazy block reads segment.go:1151)."""
         lc = container.LazyContainer(store, name, verify_checksum)
-        sections = lc.load_many(exclude_prefixes=("docs.", "payload."))
+        exclude = ("docs.", "payload.", "ivfq.")
+        if (lc.meta.get("ivf") or {}).get("codes_stored"):
+            # Codes-stored segment: serving never needs the f32 rows resident
+            # — the cluster cache reads coded blocks from the store and the
+            # exact rerank gathers candidate rows by ranged reads. Defer the
+            # whole vectors section (the largest in the blob).
+            exclude = exclude + ("vectors",)
+        sections = lc.load_many(exclude_prefixes=exclude)
         try:
             return VamanaSegment(lc.meta, sections, seg_id, lazy=lc)
         except ErrCorrupt:
@@ -544,10 +600,44 @@ class VamanaSegment(common.RowBlobAccess):
 
     def rerank_host(self, q, rows):
         """Exact rerank gathering candidate rows from HOST memory (beyond-HBM
-        mode: the segment has no device residency)."""
+        mode: the segment has no device residency). With deferred vectors
+        (cloud open), candidate rows come from block-granular ranged reads —
+        O(candidates) store bytes, never the full section (reference: rerank
+        reads full-precision rows through the block cache,
+        diskann/segment.go:1151)."""
         from vecgo_tpu.index.common import rerank_host_rows
 
+        if self._vectors_arr is None and self._lazy is not None:
+            if self._lazy.entries.get("vectors", {}).get("compression"):
+                return rerank_host_rows(
+                    q, rows, self.vectors, self.rnorm2, self.metric
+                )  # compressed: not offset-sliceable; one full read
+            rows_np = np.asarray(rows)
+            uniq, inv = np.unique(np.maximum(rows_np, 0), return_inverse=True)
+            if len(uniq) < max(1, self.n // 4):
+                tbl = self._gather_rows_lazy(uniq)
+                rows2 = np.where(
+                    rows_np >= 0, inv.reshape(rows_np.shape), -1
+                ).astype(np.int64)
+                return rerank_host_rows(
+                    q, rows2, tbl, self.rnorm2[uniq], self.metric
+                )
+            # Candidate set ~ the corpus: one full read beats row reads.
         return rerank_host_rows(q, rows, self.vectors, self.rnorm2, self.metric)
+
+    def _gather_rows_lazy(self, uniq: np.ndarray) -> np.ndarray:
+        """[U, d] f32 gather of sorted unique rows via coalesced ranged
+        reads of the deferred vectors section."""
+        out = np.empty((len(uniq), self.dim), np.float32)
+        i = 0
+        while i < len(uniq):
+            j = i
+            while j + 1 < len(uniq) and uniq[j + 1] == uniq[j] + 1:
+                j += 1
+            blk = self._lazy.load_rows("vectors", int(uniq[i]), int(uniq[j]) + 1)
+            out[i : j + 1] = np.asarray(blk, np.float32)
+            i = j + 1
+        return out
 
     # ---- beyond-HBM coded serving (cluster-granular device cache) ----
 
@@ -568,13 +658,38 @@ class VamanaSegment(common.RowBlobAccess):
         (ops/ivf_cache.ClusterCachedTable; reference: lazy block reads +
         block cache, diskann/segment.go:1151)."""
         if self._ccache is None:
-            from vecgo_tpu.ops.ivf_cache import ClusterCachedTable
-
-            self._ccache = ClusterCachedTable(
-                self.ivf_members,
-                np.asarray(self.vectors, np.float32),
-                cache_clusters=cache_clusters or self.CACHE_CLUSTERS,
+            from vecgo_tpu.ops.ivf_cache import (
+                ClusterCachedTable,
+                LazyHostTable,
+                MemHostTable,
             )
+
+            cc = cache_clusters or self.CACHE_CLUSTERS
+            if self._ivfq is not None:
+                # Persisted codes already in memory (local open): zero-copy.
+                host = MemHostTable(
+                    dict(
+                        self._ivfq,
+                        rows=np.ascontiguousarray(self.ivf_members, np.int32),
+                    )
+                )
+                self._ccache = ClusterCachedTable(host=host, cache_clusters=cc)
+            elif (
+                self._vectors_arr is None
+                and self._lazy is not None
+                and self._lazy.has("ivfq.codes")
+            ):
+                # Cloud tier: coded blocks stream straight from the store.
+                self._ccache = ClusterCachedTable(
+                    host=LazyHostTable(self._lazy, self.ivf_members),
+                    cache_clusters=cc,
+                )
+            else:
+                self._ccache = ClusterCachedTable(
+                    self.ivf_members,
+                    np.asarray(self.vectors, np.float32),
+                    cache_clusters=cc,
+                )
         return self._ccache
 
     def release_cache(self):

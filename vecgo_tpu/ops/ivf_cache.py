@@ -10,9 +10,11 @@ This module is the TPU-native equivalent of the reference's block cache, with
 the IVF CLUSTER as the cache unit (a cluster block is this engine's "disk
 block": contiguous, capacity-capped, probe-addressed):
 
-- The full SQ8-residual coded table lives in HOST memory (numpy), encoded
-  once per segment open — 1 byte/dim/slot, same layout as ops/ivf's
-  IVFCodedTable.
+- The full SQ8-residual coded table lives BELOW the device: either in host
+  memory (MemHostTable — encoded at open, or zero-copy views of persisted
+  `ivfq.*` sections), or in the STORE itself (LazyHostTable — cluster blocks
+  arrive by block-granular ranged reads; a CachingStore supplies the RAM/NVMe
+  tiers). 1 byte/dim/slot, same layout as ops/ivf's IVFCodedTable.
 - The device holds only (a) all K centroids (tiny: K*d*4) for probe
   selection and (b) a fixed-size cache of C cluster blocks (C*S*(d+12)
   bytes) updated by LRU on probe misses.
@@ -86,6 +88,78 @@ def _encode_host(
     }
 
 
+class MemHostTable:
+    """In-memory host side of the cluster cache: the full coded table as
+    numpy arrays (either encoded at open via _encode_host, or zero-copy
+    views of persisted `ivfq.*` container sections)."""
+
+    def __init__(self, h: dict):
+        self.rows = h["rows"]
+        self.cent = h["cent"]
+        self.cnorm2 = h["cnorm2"]
+        self.scale = h["scale"]
+        self._codes = h["codes"]
+        self._bn = h["bn"]
+
+    def fetch(self, idx: np.ndarray):
+        """(codes [m,S,d] i8, bn [m,S] f32) for cluster indices `idx`."""
+        return self._codes[idx], self._bn[idx]
+
+
+class LazyHostTable:
+    """Store-backed host side: cluster blocks come from block-granular ranged
+    reads of the persisted `ivfq.*` sections (reference: lazy block reads
+    through the (file, offset)-keyed cache, diskann/segment.go:1151,
+    internal/cache/types.go:22-43). Only the small per-cluster arrays
+    (centroids, norms, scales, membership) are resident; codes stay in the
+    store — a CachingStore underneath gives the RAM/NVMe block-cache tiers.
+
+    O(fetched clusters) bytes per miss batch, independent of N: a remote
+    segment serves without ever downloading its vectors or code table."""
+
+    def __init__(self, lazy, members: np.ndarray):
+        self.lazy = lazy
+        self.rows = np.ascontiguousarray(members, np.int32)
+        self.cent = np.asarray(lazy.load("ivfq.cent"), np.float32)
+        self.cnorm2 = np.asarray(lazy.load("ivfq.cnorm2"), np.float32)
+        self.scale = np.asarray(lazy.load("ivfq.scale"), np.float32)
+        self.store_bytes = 0
+        # Compressed sections can't be offset-sliced; materialize once and
+        # serve from memory (correct, loses the O(block) read economics —
+        # store codes uncompressed for the cloud tier).
+        self._mem = None
+        if any(
+            lazy.entries.get(s, {}).get("compression")
+            for s in ("ivfq.codes", "ivfq.bn")
+        ):
+            self._mem = (lazy.load("ivfq.codes"), lazy.load("ivfq.bn"))
+
+    def fetch(self, idx: np.ndarray):
+        if self._mem is not None:
+            return self._mem[0][idx], self._mem[1][idx]
+        k = len(idx)
+        codes = [None] * k
+        bn = [None] * k
+        # Coalesce ascending runs of consecutive clusters into single ranged
+        # reads (admission order is probe-rank order, so runs are common for
+        # clustered query traffic after the k-means' locality).
+        order = np.argsort(idx, kind="stable")
+        i = 0
+        while i < k:
+            j = i
+            while j + 1 < k and idx[order[j + 1]] == idx[order[j]] + 1:
+                j += 1
+            c0, c1 = int(idx[order[i]]), int(idx[order[j]]) + 1
+            cblk = self.lazy.load_rows("ivfq.codes", c0, c1)
+            bblk = self.lazy.load_rows("ivfq.bn", c0, c1)
+            self.store_bytes += cblk.nbytes + bblk.nbytes
+            for t in range(i, j + 1):
+                codes[order[t]] = cblk[idx[order[t]] - c0]
+                bn[order[t]] = bblk[idx[order[t]] - c0]
+            i = j + 1
+        return np.stack(codes), np.stack(bn)
+
+
 def _probe_jit():
     import jax
     import jax.numpy as jnp
@@ -151,22 +225,27 @@ class ClusterCachedTable:
 
     def __init__(
         self,
-        members: np.ndarray,  # [K, S] int32 (-1 padded) — e.g. seg.ivf_members
-        vectors: np.ndarray,  # [N, d] f32 host vectors
+        members: np.ndarray = None,  # [K, S] int32 (-1 padded) — e.g. seg.ivf_members
+        vectors: np.ndarray = None,  # [N, d] f32 host vectors (encode at open)
         cache_clusters: int = 256,
         group: int = 8,
+        host=None,  # MemHostTable | LazyHostTable (persisted-codes path)
     ):
         import jax.numpy as jnp
 
-        self.host = _encode_host(np.asarray(members), np.asarray(vectors, np.float32))
-        k, s = self.host["rows"].shape
-        self.k, self.s, self.d = k, s, vectors.shape[1]
+        if host is None:
+            host = MemHostTable(
+                _encode_host(np.asarray(members), np.asarray(vectors, np.float32))
+            )
+        self.host = host
+        k, s = host.rows.shape
+        self.k, self.s, self.d = k, s, host.cent.shape[1]
         c = int(min(max(group, cache_clusters), ((k + group - 1) // group) * group))
         c = ((c + group - 1) // group) * group
         self.c = c
         self.group = group
-        self.cent_dev = jnp.asarray(self.host["cent"])
-        self.cnorm2_dev = jnp.asarray(self.host["cnorm2"])
+        self.cent_dev = jnp.asarray(host.cent)
+        self.cnorm2_dev = jnp.asarray(host.cnorm2)
         # Cache buffers (slot-major). bn=+inf marks empty slots: a probe that
         # somehow hits an unfilled slot scores nothing.
         self.codes_c = jnp.zeros((c, s, self.d), jnp.int8)
@@ -231,6 +310,7 @@ class ClusterCachedTable:
             if slots:
                 h = self.host
                 idx = np.asarray(admitted, np.int64)
+                codes_b, bn_b = h.fetch(idx)  # host RAM or store ranged reads
                 # Pad the upload to a power-of-two chunk (bounded jit-shape
                 # churn); duplicate the last entry — same slot written twice
                 # with identical data.
@@ -239,6 +319,9 @@ class ClusterCachedTable:
                 pad = mp - m
                 slots_a = np.asarray(slots + [slots[-1]] * pad, np.int32)
                 idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+                pad_sel = np.concatenate(
+                    [np.arange(m), np.full(pad, m - 1, np.int64)]
+                )
                 (
                     self.codes_c, self.bn_c, self.rows_c,
                     self.scale_c, self.cent_c,
@@ -246,11 +329,11 @@ class ClusterCachedTable:
                     self.codes_c, self.bn_c, self.rows_c, self.scale_c,
                     self.cent_c,
                     jnp.asarray(slots_a),
-                    jnp.asarray(h["codes"][idx_p]),
-                    jnp.asarray(h["bn"][idx_p]),
-                    jnp.asarray(h["rows"][idx_p]),
-                    jnp.asarray(h["scale"][idx_p]),
-                    jnp.asarray(h["cent"][idx_p]),
+                    jnp.asarray(codes_b[pad_sel]),
+                    jnp.asarray(bn_b[pad_sel]),
+                    jnp.asarray(h.rows[idx_p]),
+                    jnp.asarray(h.scale[idx_p]),
+                    jnp.asarray(h.cent[idx_p]),
                 )
                 self.stats["h2d_bytes"] += int(
                     mp * (self.s * (self.d + 4 + 4) + self.d * 4 + 4)
@@ -284,10 +367,11 @@ class ClusterCachedTable:
         # cache pressure).
         wanted = []
         seen = set()
+        cn_host = self.host.cnorm2
         for rank in range(n_probe):
             for cl in probes[:, rank]:
                 cl = int(cl)
-                if cl not in seen and np.isfinite(self.host["cnorm2"][cl]):
+                if cl not in seen and np.isfinite(cn_host[cl]):
                     seen.add(cl)
                     wanted.append(cl)
         slot_of = self._ensure_cached(np.asarray(wanted, np.int64))
@@ -302,7 +386,7 @@ class ClusterCachedTable:
         qcap = min(qcap, b)
         mask_flat = None
         if row_mask is not None:
-            rows_h = self.host["rows"]
+            rows_h = self.host.rows
             # Lift the [N] row mask into the CACHED slot space on host (the
             # cache is small; [C*S] bool uploads per batch are cheap).
             order = np.asarray(list(slot_of.items()), np.int64)
@@ -329,4 +413,4 @@ class ClusterCachedTable:
         )
 
 
-__all__ = ["ClusterCachedTable"]
+__all__ = ["ClusterCachedTable", "MemHostTable", "LazyHostTable"]

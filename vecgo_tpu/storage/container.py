@@ -201,6 +201,43 @@ class LazyContainer:
         except Exception as ex:
             raise ErrCorrupt(f"section decode failed: {ex}")
 
+    def load_rows(self, name: str, row0: int, row1: int) -> np.ndarray:
+        """Ranged read of leading-axis rows [row0, row1) of one section —
+        O(rows) bytes from the store, not O(section) (the reference's block
+        read unit, diskann/segment.go:1151). Only uncompressed sections can
+        be sliced by offset; compressed ones fall back to a full section
+        load + slice. Partial reads skip the section CRC (it covers the whole
+        payload) — integrity there comes from the store tier, as with the
+        reference's block reads."""
+        try:
+            e = self.entries[name]
+        except KeyError:
+            raise
+        shape = tuple(int(s) for s in e["shape"])
+        if not shape:
+            raise ErrCorrupt(f"section {name} is scalar; load_rows needs rows")
+        row0 = max(0, int(row0))
+        row1 = min(shape[0], int(row1))
+        if row1 <= row0:
+            return np.zeros((0,) + shape[1:], np.dtype(e["dtype"]))
+        if e.get("compression"):
+            return self.load(name)[row0:row1]
+        try:
+            dtype = np.dtype(e["dtype"])
+            rowbytes = int(np.prod(shape[1:], dtype=np.int64)) * dtype.itemsize
+            off = int(e["offset"]) + row0 * rowbytes
+            nbytes = (row1 - row0) * rowbytes
+            raw = self.store.get_range(self.name, off, nbytes)
+            if len(raw) != nbytes:
+                raise ErrCorrupt(f"section {name} rows truncated")
+            return np.frombuffer(raw, dtype=dtype).reshape(
+                (row1 - row0,) + shape[1:]
+            )
+        except ErrCorrupt:
+            raise
+        except Exception as ex:
+            raise ErrCorrupt(f"section row read failed: {ex}")
+
     def load_many(self, names=None, exclude_prefixes: Tuple[str, ...] = ()) -> Dict[str, np.ndarray]:
         out = {}
         for name in self.entries:
