@@ -5,6 +5,7 @@ Reference analogue: lazy block reads + block cache
 """
 
 import numpy as np
+import pytest
 
 from vecgo_tpu.blobstore import MemoryStore
 from vecgo_tpu.engine import Engine, EngineOptions
@@ -175,10 +176,10 @@ class _CountingStore(MemoryStore):
         return super().get(name)
 
 
-def _coded_blob(x, seed=90):
+def _coded_blob(x, seed=90, kind=True):
     from vecgo_tpu.index.vamana import VamanaWriter
 
-    w = VamanaWriter(x.shape[1], store_codes=True, ivf_capacity=256, seed=seed)
+    w = VamanaWriter(x.shape[1], store_codes=kind, ivf_capacity=256, seed=seed)
     w.add_batch(x, np.arange(len(x)))
     return w.finish()
 
@@ -270,7 +271,44 @@ def test_store_codes_local_open_skips_reencode():
     assert tu.recall_at_k(got, ti) >= 0.9
 
 
-def test_engine_store_codes_cloud_reopen():
+def test_store_codes_pq_transport_economics():
+    """PQ/OPQ transport: same serving recall as SQ8 transport (the exact
+    rerank over a widened pool repairs the coarser coded ordering) at ~3x
+    fewer store-read and H2D bytes — the reference's PQ compression axis
+    (quantization/pq.go; codes-resident serving segment.go:503-708), recast
+    as transport compression for the cloud/cache tier."""
+    from vecgo_tpu.index.vamana import VamanaSegment
+
+    x, _ = tu.clustered_vectors(6000, D, n_clusters=16, seed=91)
+    q = x[5:21]
+    _, ti = tu.brute_force_knn(q, x, 10, "l2")
+
+    def serve(kind, kk):
+        st = MemoryStore()
+        st.put("s", _coded_blob(x, seed=7, kind=kind))
+        seg = VamanaSegment.open_lazy(st, "s")
+        _, rows = seg.search_cached(q, kk)
+        rows = np.asarray(rows)
+        de = np.asarray(seg.rerank_host(q, rows))
+        got = np.take_along_axis(rows, np.argsort(de, 1), 1)[:, :10]
+        cc = seg._ccache
+        assert seg._vectors_arr is None
+        return (
+            tu.recall_at_k(got, ti),
+            cc.stats["h2d_bytes"],
+            cc.host.store_bytes,
+        )
+
+    rec8, h2d8, sb8 = serve("sq8", 40)
+    for kind in ("pq", "opq"):
+        rec, h2d, sb = serve(kind, 160)  # engine widens fetch 4x for pq
+        assert rec >= rec8 - 0.05, (kind, rec, rec8)
+        assert h2d * 2.5 < h2d8, (kind, h2d, h2d8)
+        assert sb * 2.5 < sb8, (kind, sb, sb8)
+
+
+@pytest.mark.parametrize("kind", ["sq8", "pq"])
+def test_engine_store_codes_cloud_reopen(kind):
     """Engine-level cloud story: compaction persists codes; a REOPEN from the
     (remote) store defers vectors and serves the over-budget graph segment
     through store-fed cluster blocks at near-exact recall."""
@@ -278,7 +316,7 @@ def test_engine_store_codes_cloud_reopen():
     st = _CountingStore()
     opts = EngineOptions(
         dim=D, flush_threshold=10_000_000, graph_threshold=2000,
-        compaction_threshold=2, store_codes=True,
+        compaction_threshold=2, store_codes=kind,
     )
     e1 = Engine.open(st, opts, create=True)
     ids = list(e1.insert_batch(x[:3000]))
@@ -308,7 +346,9 @@ def test_engine_store_codes_cloud_reopen():
     _, ti = tu.brute_force_knn(q, x, 10, "l2")
     got = np.asarray([[c.id for c in r] + [-1] * (10 - len(r)) for r in res])
     want = np.asarray([[ids[j] for j in row] for row in ti])
-    assert tu.recall_at_k(got, want) >= 0.9
+    # Both transports sit at this corpus's probe-coverage ceiling (~0.89-0.9
+    # at auto probes); pq trades a point of it for 4x fewer bytes.
+    assert tu.recall_at_k(got, want) >= (0.9 if kind == "sq8" else 0.85)
     e2.close()
 
 

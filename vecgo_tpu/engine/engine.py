@@ -76,7 +76,7 @@ class EngineOptions:
     ef_search: int = 64
     beam_width: int = 4
     serve_compact: bool = False  # coded-table repack: half HBM, ~2x probes
-    store_codes: bool = False  # persist ivfq.* codes: cloud opens serve via ranged reads
+    store_codes: Any = False  # persist ivfq.* codes for cloud serving: False | True/"sq8" | "pq" | "opq"
     selectivity_cutoff: float = 0.30
     lexical: bool = False  # BM25 over insert(text=...)
     observer: Any = None  # MetricsObserver

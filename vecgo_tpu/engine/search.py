@@ -281,10 +281,17 @@ def _dispatch_chunk(plan: _Plan, qd, opts, options):
             # Beyond-HBM two-stage: fixed-size cluster cache in HBM, probe
             # misses upload on demand; exact host rerank below.
             seg = src.source
-            ef = max(opts.ef or options.ef_search, kk)
-            d, rows = seg.search_cached(qd, kk, mask=src.mask, ef=ef)
+            kk2 = kk
+            if str((seg.meta.get("ivf") or {}).get("codes_stored")) in (
+                "pq", "opq",
+            ):
+                # PQ transport: coded ordering is coarse — hand the exact
+                # rerank a wider pool (per-source result widths may differ).
+                kk2 = min(src.n, 4 * kk)
+            ef = max(opts.ef or options.ef_search, kk2)
+            d, rows = seg.search_cached(qd, kk2, mask=src.mask, ef=ef)
             stream_rerank = True
-            dist_comps += b * kk
+            dist_comps += b * kk2
         elif src.kind == "graph_stream":
             # Beyond-HBM graph segment: streaming scan over host-resident SQ8
             # codes (1 byte/dim H2D instead of 4 — quantization IS the

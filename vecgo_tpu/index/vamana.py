@@ -404,18 +404,41 @@ class VamanaWriter:
             }
             if self.store_codes:
                 # Persisted coded table (cluster-major: one cluster = one
-                # contiguous byte range = one lazy block read).
-                from vecgo_tpu.ops.ivf_cache import _encode_host
-
-                h = _encode_host(
-                    np.asarray(ivf_members), np.asarray(x, np.float32)
+                # contiguous byte range = one lazy block read). kind "sq8"
+                # ships d bytes/slot; "pq"/"opq" ship d/4 bytes/slot and are
+                # decoded into the SQ8 cache layout on device at admission.
+                kind = (
+                    self.store_codes
+                    if isinstance(self.store_codes, str)
+                    else "sq8"
                 )
-                sections["ivfq.codes"] = h["codes"]
+                if kind == "sq8":
+                    from vecgo_tpu.ops.ivf_cache import _encode_host
+
+                    h = _encode_host(
+                        np.asarray(ivf_members), np.asarray(x, np.float32)
+                    )
+                    sections["ivfq.codes"] = h["codes"]
+                elif kind in ("pq", "opq"):
+                    from vecgo_tpu.ops.ivf_cache import _encode_host_pq
+
+                    h = _encode_host_pq(
+                        np.asarray(ivf_members), np.asarray(x, np.float32),
+                        kind=kind, seed=self.seed,
+                    )
+                    sections["ivfq.pq"] = h["pq"]
+                    sections["ivfq.cb"] = h["cb"]
+                    if h["rot"] is not None:
+                        sections["ivfq.rot"] = h["rot"]
+                else:
+                    raise ValueError(
+                        f"store_codes={self.store_codes!r} (True|sq8|pq|opq)"
+                    )
                 sections["ivfq.bn"] = h["bn"]
                 sections["ivfq.scale"] = h["scale"]
                 sections["ivfq.cent"] = h["cent"]
                 sections["ivfq.cnorm2"] = h["cnorm2"]
-                ivf_meta["codes_stored"] = True
+                ivf_meta["codes_stored"] = kind
 
 
         meta = {
@@ -483,17 +506,20 @@ class VamanaSegment(common.RowBlobAccess):
         # Persisted coded table sections (writer store_codes=True), when the
         # open materialized them (local/mmap opens; cloud opens leave them in
         # the store and read cluster blocks lazily).
-        self._ivfq = (
-            {
-                "codes": sections["ivfq.codes"],
+        self._ivfq = None
+        if "ivfq.codes" in sections or "ivfq.pq" in sections:
+            self._ivfq = {
                 "bn": sections["ivfq.bn"],
                 "scale": sections["ivfq.scale"],
                 "cent": sections["ivfq.cent"],
                 "cnorm2": sections["ivfq.cnorm2"],
             }
-            if "ivfq.codes" in sections
-            else None
-        )
+            if "ivfq.pq" in sections:
+                self._ivfq["pq"] = sections["ivfq.pq"]
+                self._ivfq["cb"] = sections["ivfq.cb"]
+                self._ivfq["rot"] = sections.get("ivfq.rot")
+            else:
+                self._ivfq["codes"] = sections["ivfq.codes"]
         self._attach_row_blobs(sections, lazy)
         self._dev = None
         self._rerank_fn = None
@@ -614,7 +640,7 @@ class VamanaSegment(common.RowBlobAccess):
                 )  # compressed: not offset-sliceable; one full read
             rows_np = np.asarray(rows)
             uniq, inv = np.unique(np.maximum(rows_np, 0), return_inverse=True)
-            if len(uniq) < max(1, self.n // 4):
+            if len(uniq) < max(1, self.n // 2):
                 tbl = self._gather_rows_lazy(uniq)
                 rows2 = np.where(
                     rows_np >= 0, inv.reshape(rows_np.shape), -1
@@ -677,7 +703,7 @@ class VamanaSegment(common.RowBlobAccess):
             elif (
                 self._vectors_arr is None
                 and self._lazy is not None
-                and self._lazy.has("ivfq.codes")
+                and (self._lazy.has("ivfq.codes") or self._lazy.has("ivfq.pq"))
             ):
                 # Cloud tier: coded blocks stream straight from the store.
                 self._ccache = ClusterCachedTable(
@@ -718,9 +744,17 @@ class VamanaSegment(common.RowBlobAccess):
         if n_probe <= 0:
             n_probe = int(min(cc.k, max(16, (ef + 15) // 16 * 4)))
         kk = max(8, min(16, -(-2 * ef // max(n_probe, 1))))
+        pool = max(ef, k)
+        if getattr(cc.host, "kind", "sq8") == "pq":
+            # PQ transport is coarser than SQ8 (~4x the residual error at
+            # m=d/4): widen the scan pool AND the dedup cut so true
+            # neighbors survive the coded ordering — the exact host rerank
+            # repairs the final order (measured 0.84 -> 1.0 at 6k).
+            kk *= 4
+            pool = max(pool, 2 * k, 2 * ef)
         kk = min(kk, self.ivf_members.shape[1])
         sd, srows = cc.probe_and_scan(q, n_probe, kk, row_mask=mask)
-        cd, crows = beam_ops._dedup_topk(sd, srows, max(ef, k))
+        cd, crows = beam_ops._dedup_topk(sd, srows, pool)
         cd = cd[:, :k] if cd.shape[1] > k else cd
         crows = crows[:, :k] if crows.shape[1] > k else crows
         return cd, jnp.where(jnp.isfinite(cd), crows, -1)

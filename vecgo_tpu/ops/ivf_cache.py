@@ -88,6 +88,100 @@ def _encode_host(
     }
 
 
+def _encode_host_pq(
+    members: np.ndarray,  # [K, S] int32, -1 padded
+    x: np.ndarray,  # [N, d] f32 host vectors
+    kind: str = "pq",  # "pq" | "opq" (learned rotation before PQ)
+    m: int = 0,  # subspaces; 0 = d//4 (4x fewer bytes than SQ8)
+    seed: int = 42,
+    sample: int = 65536,
+    chunk: int = 64,
+) -> dict:
+    """PQ-residual TRANSPORT encode: cluster blocks ship as m bytes/slot
+    (vs d for SQ8) and are decoded+requantized to the SQ8 cache layout on
+    device at admission. This is the reference's PQ compression axis
+    (quantization/pq.go, diskann codes-resident serving segment.go:503-708)
+    recast TPU-first: PQ compresses the STORE/H2D bytes, while the hot scan
+    keeps the dense int8 layout the MXU wants.
+
+    bn/scale describe the FINAL double-quantized representation
+    (sc * round(decode(pq(res)) / sc)) so device scoring is self-consistent;
+    the one-hot f32 decode on device reproduces the host decode exactly."""
+    from vecgo_tpu.quantization.pq import OPQQuantizer, PQQuantizer
+
+    k, s = members.shape
+    n, d = x.shape
+    m = int(m) if m else max(1, d // 4)
+    # Pass 1: per-cluster means + a residual sample for codebook training.
+    cent = np.zeros((k, d), np.float32)
+    rng = np.random.default_rng(seed)
+    samples = []
+    per_chunk = max(256, sample // max(1, k // chunk))
+    for c0 in range(0, k, chunk):
+        c1 = min(c0 + chunk, k)
+        mem = members[c0:c1]
+        valid = mem >= 0
+        v = x[np.maximum(mem, 0)].astype(np.float32)
+        v[~valid] = 0.0
+        cnt = valid.sum(axis=1).astype(np.float32)
+        ce = v.sum(axis=1) / np.maximum(cnt, 1.0)[:, None]
+        cent[c0:c1] = ce
+        res = (v - ce[:, None, :]).reshape(-1, d)[valid.reshape(-1)]
+        if len(res):
+            take = min(len(res), per_chunk)
+            samples.append(res[rng.choice(len(res), take, replace=False)])
+    res_sample = (
+        np.concatenate(samples) if samples else np.zeros((1, d), np.float32)
+    )
+    if len(res_sample) > sample:
+        res_sample = res_sample[rng.choice(len(res_sample), sample, replace=False)]
+    q = (OPQQuantizer if kind == "opq" else PQQuantizer)(d, m=m)
+    q.train(res_sample, seed=seed)
+    rot = getattr(q, "rotation", None)
+    pq = q.pq if kind == "opq" else q
+
+    # Pass 2: encode every slot's residual; stats over the decoded form.
+    codes = np.zeros((k, s, m), np.uint8)
+    bn = np.full((k, s), np.inf, np.float32)
+    scale = np.zeros(k, np.float32)
+    for c0 in range(0, k, chunk):
+        c1 = min(c0 + chunk, k)
+        mem = members[c0:c1]
+        valid = mem >= 0
+        v = x[np.maximum(mem, 0)].astype(np.float32)
+        v[~valid] = 0.0
+        res = np.where(valid[:, :, None], v - cent[c0:c1, None, :], 0.0)
+        flat = res.reshape(-1, d)
+        if rot is not None:
+            flat = flat @ rot
+        cd_pq = pq._assign(flat)
+        dec = pq._decode_codes(cd_pq)
+        if rot is not None:
+            dec = dec @ rot.T
+        dec = dec.reshape(c1 - c0, s, d)
+        dec[~valid] = 0.0
+        sc = np.maximum(np.abs(dec).max(axis=(1, 2)) / 127.0, 1e-12)
+        cd = np.clip(
+            np.round(dec / sc[:, None, None]), -127, 127
+        ).astype(np.int8)
+        rh = cd.astype(np.float32) * sc[:, None, None]
+        codes[c0:c1] = cd_pq.reshape(c1 - c0, s, m)
+        bn[c0:c1] = np.where(valid, np.einsum("ksd,ksd->ks", rh, rh), np.inf)
+        scale[c0:c1] = sc
+    cn = np.einsum("kd,kd->k", cent, cent).astype(np.float32)
+    cn[(members >= 0).sum(axis=1) == 0] = np.inf
+    return {
+        "pq": codes,
+        "cb": np.asarray(pq.codebooks, np.float32),
+        "rot": None if rot is None else np.asarray(rot, np.float32),
+        "bn": bn,
+        "rows": np.ascontiguousarray(members, dtype=np.int32),
+        "scale": scale,
+        "cent": cent,
+        "cnorm2": cn,
+    }
+
+
 class MemHostTable:
     """In-memory host side of the cluster cache: the full coded table as
     numpy arrays (either encoded at open via _encode_host, or zero-copy
@@ -98,11 +192,17 @@ class MemHostTable:
         self.cent = h["cent"]
         self.cnorm2 = h["cnorm2"]
         self.scale = h["scale"]
-        self._codes = h["codes"]
+        # Transport representation: dense int8 rows ("sq8") or PQ codes
+        # ("pq"/"opq" — m bytes/slot, decoded on device at admission).
+        self.kind = "pq" if "pq" in h else "sq8"
+        self.cb = h.get("cb")
+        self.rot = h.get("rot")
+        self._codes = h["pq"] if self.kind == "pq" else h["codes"]
         self._bn = h["bn"]
 
     def fetch(self, idx: np.ndarray):
-        """(codes [m,S,d] i8, bn [m,S] f32) for cluster indices `idx`."""
+        """(codes [m,S,d] i8 | pq [m,S,M] u8, bn [m,S] f32) for clusters
+        `idx`."""
         return self._codes[idx], self._bn[idx]
 
 
@@ -123,6 +223,18 @@ class LazyHostTable:
         self.cent = np.asarray(lazy.load("ivfq.cent"), np.float32)
         self.cnorm2 = np.asarray(lazy.load("ivfq.cnorm2"), np.float32)
         self.scale = np.asarray(lazy.load("ivfq.scale"), np.float32)
+        self.kind = "pq" if lazy.has("ivfq.pq") else "sq8"
+        self._codes_sec = "ivfq.pq" if self.kind == "pq" else "ivfq.codes"
+        self.cb = (
+            np.asarray(lazy.load("ivfq.cb"), np.float32)
+            if lazy.has("ivfq.cb")
+            else None
+        )
+        self.rot = (
+            np.asarray(lazy.load("ivfq.rot"), np.float32)
+            if lazy.has("ivfq.rot")
+            else None
+        )
         self.store_bytes = 0
         # Compressed sections can't be offset-sliced; materialize once and
         # serve from memory (correct, loses the O(block) read economics —
@@ -130,9 +242,9 @@ class LazyHostTable:
         self._mem = None
         if any(
             lazy.entries.get(s, {}).get("compression")
-            for s in ("ivfq.codes", "ivfq.bn")
+            for s in (self._codes_sec, "ivfq.bn")
         ):
-            self._mem = (lazy.load("ivfq.codes"), lazy.load("ivfq.bn"))
+            self._mem = (lazy.load(self._codes_sec), lazy.load("ivfq.bn"))
 
     def fetch(self, idx: np.ndarray):
         if self._mem is not None:
@@ -150,7 +262,7 @@ class LazyHostTable:
             while j + 1 < k and idx[order[j + 1]] == idx[order[j]] + 1:
                 j += 1
             c0, c1 = int(idx[order[i]]), int(idx[order[j]]) + 1
-            cblk = self.lazy.load_rows("ivfq.codes", c0, c1)
+            cblk = self.lazy.load_rows(self._codes_sec, c0, c1)
             bblk = self.lazy.load_rows("ivfq.bn", c0, c1)
             self.store_bytes += cblk.nbytes + bblk.nbytes
             for t in range(i, j + 1):
@@ -214,6 +326,48 @@ def _write_jit():
     return _write
 
 
+def _write_pq_jit():
+    """Admission-time PQ decode: uploaded blocks are m bytes/slot; the cache
+    keeps the dense int8 layout the grouped scan wants. The one-hot f32
+    einsum is an exact codebook row-select (one 1.0 per row), so the device
+    reproduces the host-side decode that bn/scale were computed from."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(
+        jax.jit, donate_argnums=(0, 1, 2, 3, 4), static_argnames=("d", "use_rot")
+    )
+    def _write(
+        codes_c, bn_c, rows_c, scale_c, cent_c,
+        slots, pqb, cb, rot, bb, br, bs, bce, *, d, use_rot,
+    ):
+        mp, s, mm = pqb.shape
+        ks = cb.shape[1]
+        oh = (
+            pqb[..., None].astype(jnp.int32)
+            == jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, ks), 3)
+        ).astype(jnp.float32)
+        dec = jnp.einsum(
+            "bsmk,mkd->bsmd", oh, cb, preferred_element_type=jnp.float32
+        )
+        dec = dec.reshape(mp, s, -1)[..., :d]
+        if use_rot:
+            dec = jnp.einsum("bsj,fj->bsf", dec, rot)  # un-rotate (OPQ)
+        dec = jnp.where((br >= 0)[..., None], dec, 0.0)
+        cd = jnp.clip(
+            jnp.round(dec / bs[:, None, None]), -127, 127
+        ).astype(jnp.int8)
+        return (
+            codes_c.at[slots].set(cd),
+            bn_c.at[slots].set(bb),
+            rows_c.at[slots].set(br),
+            scale_c.at[slots].set(bs),
+            cent_c.at[slots].set(bce),
+        )
+
+    return _write
+
+
 class ClusterCachedTable:
     """Fixed-HBM coded serving table for beyond-HBM graph segments.
 
@@ -258,6 +412,16 @@ class ClusterCachedTable:
         self._probe = _probe_jit()
         self._scan = _scan_jit()
         self._write = _write_jit()
+        self._write_pq = None
+        self._cb_dev = self._rot_dev = None
+        if getattr(host, "kind", "sq8") == "pq":
+            self._write_pq = _write_pq_jit()
+            self._cb_dev = jnp.asarray(host.cb)
+            self._rot_dev = (
+                jnp.asarray(host.rot)
+                if host.rot is not None
+                else jnp.zeros((1, 1), jnp.float32)
+            )
         self.stats = {
             "hits": 0, "misses": 0, "h2d_bytes": 0, "dropped_probes": 0,
             "batches": 0,
@@ -322,21 +486,46 @@ class ClusterCachedTable:
                 pad_sel = np.concatenate(
                     [np.arange(m), np.full(pad, m - 1, np.int64)]
                 )
+                if self._write_pq is not None:
+                    out = self._write_pq(
+                        self.codes_c, self.bn_c, self.rows_c, self.scale_c,
+                        self.cent_c,
+                        jnp.asarray(slots_a),
+                        jnp.asarray(codes_b[pad_sel]),
+                        self._cb_dev,
+                        self._rot_dev,
+                        jnp.asarray(bn_b[pad_sel]),
+                        jnp.asarray(h.rows[idx_p]),
+                        jnp.asarray(h.scale[idx_p]),
+                        jnp.asarray(h.cent[idx_p]),
+                        d=self.d,
+                        use_rot=getattr(h, "rot", None) is not None,
+                    )
+                else:
+                    out = self._write(
+                        self.codes_c, self.bn_c, self.rows_c, self.scale_c,
+                        self.cent_c,
+                        jnp.asarray(slots_a),
+                        jnp.asarray(codes_b[pad_sel]),
+                        jnp.asarray(bn_b[pad_sel]),
+                        jnp.asarray(h.rows[idx_p]),
+                        jnp.asarray(h.scale[idx_p]),
+                        jnp.asarray(h.cent[idx_p]),
+                    )
                 (
                     self.codes_c, self.bn_c, self.rows_c,
                     self.scale_c, self.cent_c,
-                ) = self._write(
-                    self.codes_c, self.bn_c, self.rows_c, self.scale_c,
-                    self.cent_c,
-                    jnp.asarray(slots_a),
-                    jnp.asarray(codes_b[pad_sel]),
-                    jnp.asarray(bn_b[pad_sel]),
-                    jnp.asarray(h.rows[idx_p]),
-                    jnp.asarray(h.scale[idx_p]),
-                    jnp.asarray(h.cent[idx_p]),
-                )
+                ) = out
+                # Per-cluster transport bytes: codes row (d for sq8, m for
+                # pq) + bn row + centroid + scale.
                 self.stats["h2d_bytes"] += int(
-                    mp * (self.s * (self.d + 4 + 4) + self.d * 4 + 4)
+                    mp
+                    * (
+                        codes_b.nbytes // max(m, 1)
+                        + self.s * 4
+                        + self.d * 4
+                        + 4
+                    )
                 )
         return self._lru
 
