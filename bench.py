@@ -436,6 +436,82 @@ def main():
         log(f"streaming phase failed: {e!r}")
         extras["stream_error"] = repr(e)
 
+    # ---------------- beyond-HBM cluster-cached coded serving ----------------
+    # The cloud/cache tier (ops/ivf_cache): the device holds a fixed
+    # 256-cluster cache (~1/4 of the table's HBM at 1M) over a host/store-
+    # resident coded table. CLUSTERED query traffic — the tier's stated
+    # economics (reference: lazy block reads + block cache, segment.go:1151)
+    # — warms it; steady state is device-only compute + exact host rerank.
+    try:
+        from vecgo_tpu.index.common import rerank_host_rows
+        from vecgo_tpu.ops.ivf_cache import ClusterCachedTable, MemHostTable
+
+        log("cluster-cached serving phase...")
+        t0 = time.perf_counter()
+        host_tbl = MemHostTable({
+            "codes": np.asarray(table.codes),
+            "bn": np.asarray(table.bnorm2),
+            "scale": np.asarray(table.scale),
+            "cent": np.asarray(table.centroids),
+            "cnorm2": np.asarray(table.cnorm2),
+            "rows": np.asarray(table.rows),
+        })
+        extras["cached_d2h_s"] = round(time.perf_counter() - t0, 1)
+        cc = ClusterCachedTable(host=host_tbl, cache_clusters=256)
+        extras["cached_hbm_mb"] = round(cc.device_bytes() / 1e6, 1)
+        # Clustered traffic — the tier's stated economics: queries from the
+        # corpus distribution restricted to 32 of its natural clusters
+        # (directly comparable to the resident vamana numbers, whose q_all
+        # spans all 1024 clusters). Do NOT sample membership slots: overlap
+        # slots are boundary rows — worst-case probes — and skew recall.
+        rngc = np.random.default_rng(7)
+        sub = rngc.choice(n_clusters, 32, replace=False)
+        qc = (
+            centers[np.repeat(sub, 32)]
+            + 0.35 * rngc.standard_normal((32 * 32, d)).astype(np.float32)
+        )
+        qc_dev = jnp.asarray(qc, jnp.float32)
+        _, gt_c = T.blockwise_topk_search(
+            qc_dev, xvd, K, metric=Metric.L2, x_norms_sq=rnv,
+            block_rows=min(131072, n_vam), exact=True,
+        )
+        gt_c = np.asarray(gt_c)
+        rn_host = np.asarray(rnv)
+
+        def cached_once():
+            return cc.probe_and_scan(qc_dev, n_probe=4, kk=16)[1]
+
+        t0 = time.perf_counter()
+        rows_c = jax.block_until_ready(cached_once())
+        extras["cached_cold_s"] = round(time.perf_counter() - t0, 2)
+        extras["cached_h2d_mb"] = round(cc.stats["h2d_bytes"] / 1e6, 1)
+        rr = np.asarray(rows_c)
+        de = np.asarray(
+            rerank_host_rows(qc_dev, rr, x[:n_vam], rn_host, Metric.L2)
+        )
+        # Dedup before the top-K cut: overlap membership returns the same row
+        # from several probed clusters (the engine path dedups in
+        # _dedup_topk; a duplicate-blind cut here understates recall by ~30pt).
+        hits = 0
+        for b in range(len(qc)):
+            seen = []
+            for j in np.argsort(de[b]):
+                rrow = int(rr[b, j])
+                if rrow >= 0 and rrow not in seen:
+                    seen.append(rrow)
+                if len(seen) == K:
+                    break
+            hits += len(set(seen) & set(map(int, gt_c[b])))
+        rec_c = hits / (len(qc) * K)
+        dt = _timed(cached_once, reps=5)
+        extras["cached_qps"] = round(len(qc) / dt, 1)
+        extras["cached_recall"] = round(rec_c, 4)
+        extras["cached_misses"] = cc.stats["misses"]
+        extras["cached_dropped"] = cc.stats["dropped_probes"]
+    except Exception as e:  # noqa: BLE001
+        log(f"cached phase failed: {e!r}")
+        extras["cached_error"] = repr(e)
+
     # ---------------- headline ----------------
     ok = {k: v for k, v in results.items() if v[1] >= 0.95} or results
     best = max(ok.items(), key=lambda kv: kv[1][0])

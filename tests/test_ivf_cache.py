@@ -352,6 +352,54 @@ def test_engine_store_codes_cloud_reopen(kind):
     e2.close()
 
 
+def test_container_load_rows_adversarial():
+    """Malformed header entries must raise ErrCorrupt (or KeyError for an
+    unknown section), never crash or return out-of-range data — the
+    container's fuzz contract extended to ranged row reads."""
+    import json
+    import struct
+
+    from vecgo_tpu.errors import ErrCorrupt
+    from vecgo_tpu.storage import container
+
+    a = np.arange(40, dtype=np.float32).reshape(10, 4)
+    blob = container.pack_container({"m": 1}, {"a": a})
+
+    def mutate(fn):
+        # Rebuild the blob around a doctored header (both adversarial cases
+        # below must fail on the short/absent payload read, so payload bytes
+        # are intentionally not laid back down).
+        meta, entries = container.parse_header(blob)
+        for e in entries:
+            fn(e)
+        header = json.dumps({"meta": meta, "sections": entries}).encode()
+        out = b"VGT1" + struct.pack("<IQ", 0, len(header)) + header
+        st = MemoryStore()
+        st.put("c", out)
+        return container.LazyContainer(st, "c")
+
+    lc = mutate(lambda e: e.update(offset=len(blob) + 64))
+    try:
+        lc.load_rows("a", 0, 10)
+        raise AssertionError("expected ErrCorrupt for out-of-range offset")
+    except ErrCorrupt:
+        pass
+    lc = mutate(lambda e: e.update(shape=[10, 1 << 40]))
+    try:
+        lc.load_rows("a", 0, 1)
+        raise AssertionError("expected ErrCorrupt for absurd row size")
+    except (ErrCorrupt, MemoryError):
+        pass
+    lc = container.LazyContainer(
+        (lambda s: (s.put("c", blob), s)[1])(MemoryStore()), "c"
+    )
+    try:
+        lc.load_rows("missing", 0, 1)
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
+
+
 def test_container_load_rows():
     """Ranged row reads of a section == full-load slices; compressed sections
     fall back to a correct full-load path."""

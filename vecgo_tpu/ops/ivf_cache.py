@@ -571,7 +571,15 @@ class ClusterCachedTable:
         probes_m = lut[probes]
 
         if qcap == 0:
-            qcap = max(32, ((3 * b * n_probe // max(self.c, 1)) + 31) // 32 * 32)
+            # Exact no-drop capacity: the probe matrix is already host-side,
+            # so size qcap to the PEAK per-cluster query load, not an
+            # average-based guess. Clustered traffic (this tier's stated
+            # economics) concentrates probes — an average-derived qcap
+            # silently drops rank-0 probes on hot clusters; peak-sizing makes
+            # the cost adapt to the batch's actual concentration instead.
+            cnt = np.bincount(probes_m.ravel(), minlength=self.c + 1)[: self.c]
+            peak = int(cnt.max()) if cnt.size else 1
+            qcap = max(32, (peak + 31) // 32 * 32)
         qcap = min(qcap, b)
         mask_flat = None
         if row_mask is not None:
