@@ -53,9 +53,12 @@ eng.commit()
 log(f"commit (flat flush) {time.perf_counter()-t0:.1f}s")
 # Graphs come from COMPACTION (reference: flat on flush, DiskANN at merge,
 # compaction.go:102-113) — compact so the probe measures the graph path.
-t0 = time.perf_counter()
-eng.compact([h.seg_id for h in eng._segments])
-log(f"compact (graph build) {time.perf_counter()-t0:.1f}s")
+# PROBE_COMPACT=0 keeps the flat segment (the engine-suite serving shape;
+# also dodges the compact-then-search tunnel bug documented in PERF.md).
+if os.environ.get("PROBE_COMPACT", "1") != "0":
+    t0 = time.perf_counter()
+    eng.compact([h.seg_id for h in eng._segments])
+    log(f"compact (graph build) {time.perf_counter()-t0:.1f}s")
 _snap0 = eng.snapshot()
 seg_kind = next(h.segment for h in _snap0.segments).__class__.__name__
 _snap0.release()
@@ -84,7 +87,7 @@ qd_all = jnp.asarray(qs)
 snap = eng.snapshot()
 for b in BATCHES:
     for profile in ("exact", "fast"):
-        chunk = 1024
+        chunk = int(os.environ.get("PROBE_CHUNK", "1024"))
         search_mod.CHUNK_B = chunk
         qd = qd_all[:b]
         opts = SearchOptions(k=10, with_stats=True)
@@ -93,15 +96,17 @@ for b in BATCHES:
             opts.graph_rescore = False
             opts.nprobes = 6
             opts.graph_qcap_factor = 1.5
-        # warm (compile)
+        # warm (compile); need_locations=False = the search_arrays hot path
         search_mod.search_snapshot(snap, eng.pk, qd, opts, eng.options,
-                                   device_budget=eng._device_budget)
+                                   device_budget=eng._device_budget,
+                                   need_locations=False)
         reps = 3
         t0 = time.perf_counter()
         for _ in range(reps):
             ids, dists, _, st = search_mod.search_snapshot(
                 snap, eng.pk, qd, opts, eng.options,
                 device_budget=eng._device_budget,
+                need_locations=False,
             )
         dt = (time.perf_counter() - t0) / reps
         log(
@@ -167,17 +172,26 @@ seg = next(h.segment for h in snap.segments)
 q1 = qd_all[:1024]
 
 
+_is_flat = seg.__class__.__name__ == "FlatSegment"
+
+
 def seg_search_exact():
-    d, rows = seg.search(q1, 20, ef=48, beam_width=4)
+    if _is_flat:
+        d, rows = seg.search(q1, 20)
+    else:
+        d, rows = seg.search(q1, 20, ef=48, beam_width=4)
     jax.block_until_ready(rows)
     return rows
 
 
 def seg_search_fast():
-    d, rows = seg.search(
-        q1, 20, ef=48, beam_width=4, refine_steps=0, rescore=False,
-        n_probe=6, qcap_factor=1.5,
-    )
+    if _is_flat:
+        d, rows = seg.search(q1, 20, nprobes=6)
+    else:
+        d, rows = seg.search(
+            q1, 20, ef=48, beam_width=4, refine_steps=0, rescore=False,
+            n_probe=6, qcap_factor=1.5,
+        )
     jax.block_until_ready(rows)
     return rows
 

@@ -622,6 +622,7 @@ class Engine:
             ids, dists, _, _ = search_mod.search_snapshot(
                 snap, self.pk, qs, opts, self.options,
                 device_budget=self._device_budget,
+                need_locations=False,  # hot path returns arrays only
             )
             obs = self.options.observer
             if obs is not None:

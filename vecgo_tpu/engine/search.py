@@ -406,6 +406,22 @@ def _merge_device(reranked, fetch_k: int, margin: int = _VIS_MARGIN):
     return fn(*parts), out_w
 
 
+def _loc_lists(sel_seg, sel_row, got):
+    """Per-query [(seg_id, row), ...] lists from compacted arrays. Python
+    tuple materialization is O(B*k) interpreter work — the arrays stay
+    vectorized until a caller actually needs locations (search_batch does;
+    the search_arrays hot path does not)."""
+    b, kk = sel_seg.shape
+    return [
+        [
+            (int(sel_seg[bi, j]), int(sel_row[bi, j]))
+            for j in range(kk)
+            if got[bi, j]
+        ]
+        for bi in range(b)
+    ]
+
+
 def _finish_chunk(
     packed_host: np.ndarray,  # [2, B, W]
     slot_seg_ids: List[int],
@@ -489,11 +505,7 @@ def _finish_chunk(
     )
     sel_seg = np.take_along_axis(S, sel, axis=1)
     sel_row = np.take_along_axis(R, sel, axis=1)
-    out_loc: List[List] = [
-        [(int(sel_seg[bi, j]), int(sel_row[bi, j])) for j in range(kk) if got[bi, j]]
-        for bi in range(b)
-    ]
-    return out_ids, out_d, out_loc
+    return out_ids, out_d, (sel_seg, sel_row, got)
 
 
 def _coded_mergeable(plan: _Plan) -> bool:
@@ -509,6 +521,7 @@ def search_snapshot(
     opts: SearchOptions,
     options,  # EngineOptions
     device_budget=None,  # resource.DeviceBudget or None (unlimited HBM)
+    need_locations: bool = True,  # False skips per-query (seg,row) tuple lists
 ):
     """Execute a (batched) search against a snapshot.
 
@@ -529,7 +542,7 @@ def search_snapshot(
     for attempt in range(attempts):
         try:
             return _search_snapshot_impl(
-                snap, pk, q, opts, options, device_budget
+                snap, pk, q, opts, options, device_budget, need_locations
             )
         except _errors() as e:
             if "INVALID_ARGUMENT" not in str(e) or attempt == attempts - 1:
@@ -576,6 +589,7 @@ def _search_snapshot_impl(
     opts: SearchOptions,
     options,
     device_budget=None,
+    need_locations: bool = True,
 ):
     import jax
     import jax.numpy as jnp
@@ -623,7 +637,12 @@ def _search_snapshot_impl(
         dist_comps += dc
         nodes_visited += nv
         if coded:
-            packed, _ = _merge_device(reranked, fetch_k, vis_margin)
+            # Merge width k (+ churn margin), NOT fetch_k: every approximate
+            # source is exactly reranked inside _dispatch_chunk before the
+            # merge, so truncating the globally sorted union at k is lossless
+            # — fetch_k only sizes the per-source rerank pools. This shrinks
+            # the packed D2H (the engine's bound on slow links) ~2x.
+            packed, _ = _merge_device(reranked, k, vis_margin)
             chunks.append(packed)
         else:
             chunks.append(reranked)
@@ -655,7 +674,8 @@ def _search_snapshot_impl(
             s = ci * CHUNK_B if n_chunks > 1 else 0
             out_ids[s : s + ids_c.shape[0]] = ids_c
             out_d[s : s + ids_c.shape[0]] = d_c
-            out_loc.extend(loc_c)
+            if need_locations:
+                out_loc.extend(_loc_lists(*loc_c))
     else:
         # Fallback (many sources / huge segment): wide packed transfer.
         t_rerank = time.perf_counter()
@@ -664,7 +684,8 @@ def _search_snapshot_impl(
             s = ci * CHUNK_B if n_chunks > 1 else 0
             out_ids[s : s + ids_c.shape[0]] = ids_c
             out_d[s : s + ids_c.shape[0]] = d_c
-            out_loc.extend(loc_c)
+            if need_locations:
+                out_loc.extend(_loc_lists(*loc_c))
 
     t_end = time.perf_counter()
     if stats:
@@ -784,11 +805,7 @@ def _finish_wide(reranked, snap, pk, opts):
     out_d[:, :kk] = np.where(got, np.take_along_axis(D, sel, axis=1), np.inf)
     sel_seg = np.take_along_axis(S, sel, axis=1)
     sel_row = np.take_along_axis(R, sel, axis=1)
-    out_loc = [
-        [(int(sel_seg[bi, j]), int(sel_row[bi, j])) for j in range(kk) if got[bi, j]]
-        for bi in range(b)
-    ]
-    return out_ids, out_d, out_loc
+    return out_ids, out_d, (sel_seg, sel_row, got)
 
 
 def _seg_by_id(snap, seg_id: int):

@@ -367,9 +367,15 @@ class FlatSegment(common.RowBlobAccess):
         k: int,
         mask: Optional[np.ndarray] = None,  # host bool [n] (filters+tombstones)
         nprobes: int = 0,
-        block_rows: int = 8192,
+        block_rows: int = 131072,
     ):
-        """Returns (dists [B,k] f32 device, rows [B,k] i32 device)."""
+        """Returns (dists [B,k] f32 device, rows [B,k] i32 device).
+
+        block_rows >= ops.topk._APPROX_MIN_WIDTH keeps each scan step on the
+        TPU-native approx_min_k selection (~12x cheaper than lax.top_k) and
+        cuts the scan to n/131072 steps — at 1M rows the old 8192-row default
+        paid 123 exact-top_k merges and ran the whole engine flat path ~20x
+        slower than the ops-level scan (probe_engine_phases, 2026-08-18)."""
         import jax.numpy as jnp
 
         from vecgo_tpu.ops import topk as topk_ops
