@@ -202,7 +202,35 @@ def main():
                 block_rows=min(131072, n),
             )
 
-        for name, fn in (("flat_bf16", flat16), ("flat_f32", flat32)):
+        # bf16 single-pass scan over a (K+8) pool + exact f32-HIGHEST rerank
+        # of the pool on device — the engine's FlatSegment.search default
+        # (scan_dtype="bf16"): full-precision distances, pool margin absorbs
+        # bf16 ranking noise. Near-f32 recall at near-bf16 speed.
+        import jax as _jax
+
+        @_jax.jit
+        def _rr_exact(queries, rows):
+            safe = jnp.maximum(rows, 0)
+            v = jnp.take(xd, safe, axis=0)  # [B, C, d] f32
+            qf = queries.astype(jnp.float32)
+            prod = jnp.einsum(
+                "bcd,bd->bc", v, qf, precision=_jax.lax.Precision.HIGHEST
+            )
+            qn = jnp.sum(qf * qf, axis=-1, keepdims=True)
+            dd = qn + jnp.take(rnorm2, safe, axis=0) - 2.0 * prod
+            return jnp.where(rows >= 0, jnp.maximum(dd, 0.0), jnp.inf)
+
+        def flat_rr(queries):
+            _, rows = T.blockwise_topk_search(
+                queries, xb16, K + 8, metric=Metric.L2, x_norms_sq=rnorm2,
+                block_rows=min(131072, n), compute_dtype=jnp.bfloat16,
+            )
+            dd = _rr_exact(queries, rows)
+            return T.topk_smallest_with_ids(dd, rows, K)
+
+        for name, fn in (
+            ("flat_bf16", flat16), ("flat_rr", flat_rr), ("flat_f32", flat32),
+        ):
             _, ids = fn(qd)
             rec = recall(np.asarray(ids))
             dt = _timed(lambda: fn(qb)[1])
@@ -446,6 +474,8 @@ def main():
         from vecgo_tpu.index.common import rerank_host_rows
         from vecgo_tpu.ops.ivf_cache import ClusterCachedTable, MemHostTable
 
+        if "table" not in locals():  # vamana phase skipped (flat mode / budget)
+            raise RuntimeError("skipped: no coded table (vamana phase not run)")
         log("cluster-cached serving phase...")
         t0 = time.perf_counter()
         host_tbl = MemHostTable({

@@ -75,6 +75,7 @@ class EngineOptions:
     orphan_gc_grace_s: float = 3600.0  # min age before open-time orphan GC deletes
     ef_search: int = 64
     beam_width: int = 4
+    flat_scan_dtype: str = "bf16"  # "bf16" (1-pass MXU scan + exact f32 rerank) | "f32" (3-pass HIGH scan)
     serve_compact: bool = False  # coded-table repack: half HBM, ~2x probes
     store_codes: Any = False  # persist ivfq.* codes for cloud serving: False | True/"sq8" | "pq" | "opq"
     selectivity_cutoff: float = 0.30

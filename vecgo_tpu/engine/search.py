@@ -256,7 +256,8 @@ def _dispatch_chunk(plan: _Plan, qd, opts, options):
             dist_comps += b * src.rows_considered
         elif src.kind == "flat":
             d, rows = src.source.search(
-                qd, kk, mask=src.mask, nprobes=opts.nprobes
+                qd, kk, mask=src.mask, nprobes=opts.nprobes,
+                scan_dtype=getattr(options, "flat_scan_dtype", "bf16"),
             )
             dist_comps += b * src.rows_considered
         elif src.kind == "flat_stream":
@@ -623,7 +624,12 @@ def _search_snapshot_impl(
     # neighbors if the margin is fixed. Scale the margin with the dirty count;
     # past the cap, take the full-width merge path instead.
     dirty_n = len(pk.dirty_sorted())
-    vis_margin = max(_VIS_MARGIN, min(dirty_n, _VIS_MARGIN_CAP))
+    # A clean snapshot (no multi-version ids) cannot lose candidates to
+    # visibility filtering or dedup — merge exactly k and skip the margin
+    # bytes on the packed D2H (the bound on slow host links).
+    vis_margin = (
+        0 if dirty_n == 0 else max(_VIS_MARGIN, min(dirty_n, _VIS_MARGIN_CAP))
+    )
     coded = _coded_mergeable(plan) and dirty_n <= _VIS_MARGIN_CAP
     slot_seg_ids = [s.seg_id for s in plan.sources]
 
