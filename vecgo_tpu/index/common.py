@@ -127,6 +127,8 @@ def csr_bytes_sections(
     items: List[Optional[bytes]], prefix: str
 ) -> Dict[str, np.ndarray]:
     """Byte blobs -> CSR sections {prefix.data, prefix.indptr} (empty if all None)."""
+    if not any(items):  # C-speed scan beats a 1M-iteration build loop
+        return {}
     blob = bytearray()
     indptr = np.zeros(len(items) + 1, np.int64)
     any_data = False
@@ -144,6 +146,8 @@ def csr_bytes_sections(
 
 
 def docs_sections(docs: List[Optional[dict]]) -> Dict[str, np.ndarray]:
+    if all(d is None for d in docs):  # bulk-ingest common case: no docs
+        return {}  # ({} docs still encode -- `is None` keeps that contract)
     enc = [
         json.dumps(d, separators=(",", ":")).encode() if d is not None else None
         for d in docs

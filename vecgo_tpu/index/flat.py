@@ -90,7 +90,14 @@ class FlatWriter:
             ivf_centroids, _ = km.train_kmeans(
                 x, self.ivf_partitions, seed=self.seed, sample=self.train_sample
             )
-            assign, _ = km.assign_partitions(x, ivf_centroids)
+            # bf16 transfer: nearest-centroid partitioning tolerates boundary
+            # fuzz (queries probe several partitions) and the f32 upload was
+            # the flush's second-largest cost at 1M (probe_flush_phases).
+            import jax.numpy as _jnp
+
+            assign, _ = km.assign_partitions(
+                x, ivf_centroids, transfer_dtype=_jnp.bfloat16
+            )
             order = np.argsort(assign, kind="stable")
             self._rows.reorder(order)
             ivf_part = assign[order].astype(np.int32)
@@ -142,10 +149,15 @@ def segment_stats(x: np.ndarray, cm: ColumnarMeta) -> dict:
     vector centroid+radius, numeric min/max/mean/histogram, categorical tops)."""
     stats: Dict[str, Any] = {"row_count": int(x.shape[0])}
     if x.shape[0]:
-        centroid = x.mean(0)
-        d = np.linalg.norm(x - centroid[None, :], axis=1)
+        centroid = x.mean(0, dtype=np.float64).astype(np.float32)
+        # ||x_i - c||^2 = ||x_i||^2 - 2 x_i.c + ||c||^2 via one matvec pass —
+        # the naive (x - c) form allocates two full-table temps (measured
+        # 128 s at 1M x 128 on the degraded-paging dev host vs <1 s here).
+        rn = np.einsum("nd,nd->n", x, x, dtype=np.float64)
+        xc = (x @ centroid).astype(np.float64)  # f32 sgemv, no full-table temp
+        d2 = rn - 2.0 * xc + float(centroid.astype(np.float64) @ centroid)
         stats["centroid"] = [round(float(v), 6) for v in centroid]
-        stats["radius"] = float(d.max())
+        stats["radius"] = float(np.sqrt(max(float(d2.max()), 0.0)))
     fields = {}
     for f, col in cm.numeric.items():
         vals = col[~np.isnan(col)]

@@ -77,8 +77,51 @@ def _lloyd(x, centers, iters: int, block_rows: int):
     return centers, inertias[-1]
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _kmeanspp_init_jit(x, key, k: int):
+    """k-means++ D^2 seeding as ONE device program.
+
+    The host-numpy loop below pays k full passes over the sample on the
+    CPU (~70 s at k=122 over 65536 x 128 on the 1-core dev box); here each
+    step is a [n,d]@[d] matvec inside a lax.scan — sub-second total.
+    """
+    n, d = x.shape
+    xn = dist_ops.row_norms_sq(x)
+
+    def dist_to(c):
+        return jnp.maximum(xn + jnp.sum(c * c) - 2.0 * (x @ c), 0.0)
+
+    key, sub = jax.random.split(key)
+    i0 = jax.random.randint(sub, (), 0, n)
+    c0 = x[i0]
+
+    def step(carry, i):
+        centers, d2, key = carry
+        key, sub = jax.random.split(key)
+        # Sample index with probability ∝ D^2; if every distance is zero
+        # (duplicate-heavy sample) fall back to uniform.
+        any_mass = jnp.any(d2 > 0)
+        logits = jnp.where(
+            any_mass,
+            jnp.where(d2 > 0, jnp.log(jnp.maximum(d2, 1e-30)), -jnp.inf),
+            jnp.zeros_like(d2),
+        )
+        idx = jax.random.categorical(sub, logits)
+        c = x[idx]
+        centers = centers.at[i].set(c)
+        d2 = jnp.minimum(d2, dist_to(c))
+        return (centers, d2, key), None
+
+    centers0 = jnp.zeros((k, d), jnp.float32).at[0].set(c0)
+    (centers, _, _), _ = jax.lax.scan(
+        step, (centers0, dist_to(c0), key), jnp.arange(1, k)
+    )
+    return centers
+
+
 def _kmeanspp_init(x: np.ndarray, k: int, r: np.random.Generator) -> np.ndarray:
-    """k-means++ D^2 seeding (host numpy; train-time only)."""
+    """k-means++ D^2 seeding (host numpy reference; superseded by
+    _kmeanspp_init_jit on the train path)."""
     n = x.shape[0]
     centers = np.empty((k, x.shape[1]), np.float32)
     centers[0] = x[r.integers(n)]
@@ -120,20 +163,22 @@ def train_kmeans(
         jitter = r.standard_normal(reps.shape).astype(np.float32) * 1e-4
         centers = np.concatenate([x, reps + jitter], 0)
         return centers.astype(np.float32), 0.0
-    # kmeans++ D^2 seeding is an O(k * sample * d) HOST loop — measured seconds
-    # at k in the hundreds; for coarse partitioning (large k) random distinct
-    # rows are as good after a few Lloyd iterations.
-    if k <= 256:
-        init = _kmeanspp_init(x, k, r)
-    else:
-        init = x[r.choice(n, k, replace=False)]
     block_rows = min(block_rows, n)
     pad = (-n) % block_rows
     if pad:
         # Pad with repeats of existing rows: harmless for assignment stats
         # (they only weight the means slightly); keeps shapes static.
         x = np.concatenate([x, x[:pad]], 0)
-    centers, inertia = _lloyd(jnp.asarray(x), jnp.asarray(init), iters, block_rows)
+    xd = jnp.asarray(x)
+    # k-means++ seeding for moderate k (quality matters most there); plain
+    # random distinct rows for large k — as good after a few Lloyd rounds.
+    # Seeding runs on DEVICE over the same uploaded sample (one extra
+    # matvec-scan program, vs ~70 s for the old host loop at k=122).
+    if k <= 256:
+        init = _kmeanspp_init_jit(xd[:n], jax.random.PRNGKey(seed), k)
+    else:
+        init = jnp.asarray(x[r.choice(n, k, replace=False)])
+    centers, inertia = _lloyd(xd, init, iters, block_rows)
     return np.asarray(centers), float(inertia)
 
 
@@ -173,16 +218,23 @@ def _assign_jit(x, centers, block_rows: int):
     n, d = x.shape
     xb = x.reshape(n // block_rows, block_rows, d)
     c_norms = dist_ops.row_norms_sq(centers)
+    cdt = x.dtype if x.dtype == jnp.bfloat16 else None
 
     def body(_, blk):
-        dmat = dist_ops.squared_l2(blk, centers, c_norms)
+        dmat = dist_ops.squared_l2(blk, centers, c_norms, compute_dtype=cdt)
         return None, (jnp.argmin(dmat, 1).astype(jnp.int32), jnp.min(dmat, 1))
 
     _, (assign, dists) = jax.lax.scan(body, None, xb)
     return assign.reshape(-1), dists.reshape(-1)
 
 
-def assign_partitions(x: np.ndarray, centers: np.ndarray, block_rows: int = 8192):
+def assign_partitions(
+    x: np.ndarray,
+    centers: np.ndarray,
+    block_rows: int = 65536,
+    transfer_dtype=None,  # jnp.bfloat16 halves the H2D bytes (coarse
+    #                       assignment is boundary-fuzz tolerant)
+):
     """Nearest-centroid assignment (reference: kmeans.AssignPartition:142).
 
     Returns (assign [N] int32, dist [N] f32).
@@ -193,7 +245,8 @@ def assign_partitions(x: np.ndarray, centers: np.ndarray, block_rows: int = 8192
     pad = (-n) % block_rows
     if pad:
         x = np.concatenate([x, np.zeros((pad, x.shape[1]), np.float32)], 0)
-    a, dist = _assign_jit(jnp.asarray(x), jnp.asarray(centers), block_rows)
+    xd = jnp.asarray(x, dtype=transfer_dtype) if transfer_dtype else jnp.asarray(x)
+    a, dist = _assign_jit(xd, jnp.asarray(centers), block_rows)
     return np.asarray(a[:n]), np.asarray(dist[:n])
 
 
