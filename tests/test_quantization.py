@@ -134,6 +134,22 @@ def test_kmeans_basics():
     np.testing.assert_array_equal(idx[:, 0], a[:4])
 
 
+def test_kmeanspp_device_seeding_quality():
+    """Device k-means++ (one jitted matvec-scan program) must seed as well as
+    the host D^2 loop it replaced: near-zero inertia on well-separated
+    clusters, and bf16-transfer assignment must agree with f32."""
+    import jax.numpy as jnp
+
+    x, true_assign = tu.clustered_vectors(4000, 24, n_clusters=32, spread=0.02, seed=11)
+    centers, inertia = km.train_kmeans(x, 32, iters=15, seed=7)
+    # Perfect seeding finds all 32 separated clusters -> inertia ~= n*d*spread^2.
+    floor = 4000 * 24 * 0.02**2
+    assert inertia < 10 * floor, (inertia, floor)
+    a32, _ = km.assign_partitions(x, centers)
+    a16, _ = km.assign_partitions(x, centers, transfer_dtype=jnp.bfloat16)
+    assert (a16 == a32).mean() > 0.98
+
+
 def test_kmeans_grouped_matches_shapes():
     x = tu.gaussian_vectors(1000, 32, seed=9).reshape(1000, 4, 8).transpose(1, 0, 2)
     cbs = km.train_kmeans_grouped(x, 16, iters=5, seed=6)

@@ -177,8 +177,24 @@ class MemTable:
 
     def _gather(self, rows: np.ndarray) -> np.ndarray:
         """Vectorized multi-slab row gather (flush export)."""
+        from vecgo_tpu.utils import hostmem
+
         rows = np.asarray(rows, np.int64)
-        out = np.empty((len(rows), self.dim), np.float32)
+        # Bulk-load fast path: one slab holds every requested row in order —
+        # hand the slab slice back without a 512 MB gather copy (the engine
+        # flush discards the memtable right after, and IVF reorder replaces
+        # the array anyway).
+        # (rows is strictly increasing, so length == slab span + last == n-1
+        # implies rows == arange(n) entirely inside slab 0.)
+        if (
+            len(self._slabs) == 1
+            and len(rows)
+            and len(rows) == int(self._slab_ends[0])
+            and rows[0] == 0
+            and rows[-1] == len(rows) - 1
+        ):
+            return self._slabs[0][: len(rows)]
+        out = hostmem.huge_empty((len(rows), self.dim), np.float32)
         si_of = np.searchsorted(self._slab_ends, rows, side="right")
         for si in np.unique(si_of):
             m = si_of == si
