@@ -82,7 +82,11 @@ for attempt in range(3):
 qs = x[rng.integers(0, N, max(BATCHES))] + 0.05 * rng.standard_normal(
     (max(BATCHES), D)
 ).astype(np.float32)
-qd_all = jnp.asarray(qs)
+# Host queries (the public-API shape): search_snapshot uploads per call, and
+# the INVALID_ARGUMENT retry ladder can re-upload after clearing device state
+# — slicing a DEVICE array here instead makes the ladder's own q demotion
+# dispatch D2H on the poisoned backend and die (observed 2026-08-18).
+qd_all = np.asarray(qs, np.float32)
 
 snap = eng.snapshot()
 for b in BATCHES:

@@ -310,6 +310,14 @@ class MemTable:
 
     # ---------------- device search ----------------
 
+    def release_device(self):
+        """Drop frozen device chunks (poisoned-backend containment: after a
+        backend teardown their handles are dead). They re-upload lazily via
+        _sync_chunks on the next search."""
+        with self._lock:
+            self._chunks = []
+            self._frozen_rows = 0
+
     def _sync_chunks(self):
         import jax.numpy as jnp
 

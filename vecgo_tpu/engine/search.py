@@ -575,6 +575,22 @@ def search_snapshot(
                 rel = getattr(h.segment, "release_device", None)
                 if rel is not None:
                     rel()
+            mt_rel = getattr(snap.memtable, "release_device", None)
+            if mt_rel is not None:
+                mt_rel()
+            if attempt == attempts - 2:
+                # Last chance before giving up: tear the device client down
+                # entirely (the in-process equivalent of a restart — the
+                # poisoning survives cache clears and re-uploads, so it is
+                # client state). It re-initializes lazily at the next
+                # dispatch; every device handle dies, which is why segment +
+                # memtable device state was just released above.
+                try:
+                    import jax.extend as jex
+
+                    jex.backend.clear_backends()
+                except Exception:  # noqa: BLE001 — containment only
+                    pass
             # Re-route the query through host memory: chunk slicing becomes
             # numpy + a fresh upload per chunk — different executables than
             # the poisoned ones (the failure has been observed at an eager
