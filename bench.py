@@ -280,15 +280,19 @@ def main():
         t0 = time.perf_counter()
         build_graph_clustered(
             xv_dev, r=r, alpha=alpha, refine_rounds=0, return_device=True,
-            return_membership=True,
+            return_membership="device",
         )
         extras["build_cold_s"] = round(time.perf_counter() - t0, 1)
         t0 = time.perf_counter()
         graph_dev, medoid, bcentroids, bentry, members = build_graph_clustered(
             xv_dev, r=r, alpha=alpha, refine_rounds=0, return_device=True,
-            return_membership=True,
+            return_membership="device",
         )
         jax.block_until_ready(graph_dev)
+        # Force a real sync: on the tunnelled device block_until_ready can
+        # return before trailing async work drains — a 1-element D2H cannot.
+        _ = np.asarray(graph_dev[:1, :1])
+        _ = np.asarray(members[:1, :1])
         t_build = time.perf_counter() - t0
         extras["build_s"] = round(t_build, 1)
         extras["build_vps"] = round(n_vam / t_build, 1)
@@ -326,6 +330,7 @@ def main():
         t0 = time.perf_counter()
         table = ivf_ops.device_table_coded(members, xv_dev[:n_vam])
         jax.block_until_ready(table.codes)
+        _ = np.asarray(table.codes[:1, :1, :1])
         extras["ivf_table_cold_s"] = round(time.perf_counter() - t0, 1)
         # Warm (steady-state) table build: the first call pays one-time XLA
         # compilation; flush/compaction reuse the cached executable.
@@ -333,6 +338,7 @@ def main():
         t0 = time.perf_counter()
         table = ivf_ops.device_table_coded(members, xv_dev[:n_vam])
         jax.block_until_ready(table.codes)
+        _ = np.asarray(table.codes[:1, :1, :1])
         extras["ivf_table_s"] = round(time.perf_counter() - t0, 1)
         extras["build_total_s"] = round(t_build + time.perf_counter() - t0, 1)
         extras["build_total_vps"] = round(

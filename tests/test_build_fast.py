@@ -89,6 +89,44 @@ def test_writer_clustered_mode_roundtrip():
     assert (rows[:, 0] == np.arange(16)).all()  # self is nearest
 
 
+def test_device_membership_matches_host():
+    """return_membership="device" must equal the host path bit-for-bit:
+    same free-slot fill order (flat row-major free slots x ascending
+    uncovered rows) and zero host transfers mid-build."""
+    import jax
+
+    n, d = 5000, 32
+    x, _ = tu.clustered_vectors(n, d, n_clusters=16, seed=7)
+    host = build_graph_clustered(
+        x, r=16, cluster_size=256, overlap=2, return_membership=True, seed=3
+    )
+    dev = build_graph_clustered(
+        x, r=16, cluster_size=256, overlap=2, return_membership="device", seed=3
+    )
+    m_host, m_dev = host[4], dev[4]
+    assert isinstance(m_dev, jax.Array)
+    np.testing.assert_array_equal(m_host, np.asarray(m_dev))
+    np.testing.assert_array_equal(host[0], dev[0])  # graph identical
+    # every row covered exactly like the host path
+    flat = np.asarray(m_dev).reshape(-1)
+    assert set(flat[flat >= 0]) == set(range(n))
+
+
+def test_train_kmeans_dev_matches_host():
+    """Device-resident k-means == host-API k-means (same seeds, same math),
+    on both the kmeans++ (k<=256) and random-init (k>256) paths."""
+    from vecgo_tpu.quantization import kmeans as km
+
+    x, _ = tu.clustered_vectors(4000, 16, n_clusters=24, seed=5)
+    for k in (24, 300):
+        c_host, i_host = km.train_kmeans(x, k, iters=4, seed=9, sample=2048)
+        c_dev, i_dev = km.train_kmeans_dev(
+            jnp.asarray(x), k, iters=4, seed=9, sample=2048
+        )
+        np.testing.assert_allclose(c_host, np.asarray(c_dev), rtol=1e-5, atol=1e-5)
+        assert abs(float(i_dev) - i_host) <= 1e-3 * max(1.0, abs(i_host))
+
+
 def test_restarts_improve_uniform_candidates():
     """On unstructured data, a projection restart adds candidate coverage."""
     n, d = 6000, 48

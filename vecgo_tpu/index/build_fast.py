@@ -516,6 +516,29 @@ def _build_membership(assign: np.ndarray, dists: np.ndarray, k: int, cmax: int):
     return members, mem_slot, entry_nodes
 
 
+@jax.jit
+def _complete_membership_dev(members, covered_n):
+    """Coverage completion ON DEVICE: rows dropped by capacity pressure get
+    any free (-1) slot, i-th uncovered row -> i-th free slot (same semantics
+    as the host path below, minus its warning log). One 1-D sort + cumsums —
+    keeps the membership device-resident for device_table_coded (the host
+    round trip moves ~12 MB over the dev tunnel for nothing).
+
+    members [K, S] int32 (-1 free); covered_n [n] bool. Returns [K, S]."""
+    k, s = members.shape
+    n = covered_n.shape[0]
+    flat = members.reshape(-1)
+    free = flat < 0
+    rank = jnp.clip(jnp.cumsum(free.astype(jnp.int32)) - 1, 0, n - 1)
+    rows = jnp.arange(n, dtype=jnp.int32)
+    # Compact uncovered rows to the front (row order preserved by the sort).
+    lv_sorted = jax.lax.sort(jnp.where(covered_n, n, rows))
+    n_left = jnp.sum((~covered_n).astype(jnp.int32))
+    fill = jnp.take(lv_sorted, rank)
+    fill_ok = free & (jnp.cumsum(free.astype(jnp.int32)) - 1 < n_left)
+    return jnp.where(fill_ok, fill, flat).reshape(k, s)
+
+
 def _reverse_scatter(g: np.ndarray, cap: int) -> np.ndarray:
     """Host-side hash-scatter of sampled in-edges (kept for tools/tests; the
     build itself uses the device twin _reverse_dev)."""
@@ -748,9 +771,13 @@ def build_graph_clustered(
             k_clusters = max(2, math.ceil(n * ov_t * 1.4 / cmax))
             n_sample = min(n, max(32768, 12 * k_clusters))
             idx = rng.choice(n, n_sample, replace=False)
-            z_sample = np.asarray(z[jnp.asarray(idx)])  # small D2H
+            # Device-resident sample + training: the old path moved the
+            # sample D2H and the centers both ways; on a degraded tunnel the
+            # 4 MB sample D2H alone measured ~11 s (profile 2026-08-18).
+            # Only the (tiny) index vectors cross the link now.
+            z_sample = jnp.take(z, jnp.asarray(idx, dtype=jnp.int32), axis=0)
             t0 = _tick(times, "kmeans_sample", t0)
-            centers, _ = km.train_kmeans(
+            centers, _ = km.train_kmeans_dev(
                 z_sample, k_clusters, iters=kmeans_iters,
                 seed=seed + 101 * t, sample=n_sample,
             )
@@ -758,7 +785,7 @@ def build_graph_clustered(
             a_dev, d_dev = _assign_topk(
                 _padded(z, 0.0),
                 _padded(zn[:, None], 0.0)[:, 0],
-                jnp.asarray(centers),
+                centers,
                 ov_t,
                 block,  # divides pad_n by construction
             )
@@ -957,6 +984,15 @@ def build_graph_clustered(
     graph = graph[:n]
     if not return_device:
         graph = np.asarray(graph)  # the ONE big D2H
+    if return_membership == "device":
+        # Device-resident membership (bench / flush feed device_table_coded
+        # directly): coverage completion runs on device, nothing crosses the
+        # link. Callers that persist the membership pay the D2H themselves.
+        if covered_t0 is not None:
+            members_dev = _complete_membership_dev(members_t0, covered_t0[:n])
+        else:
+            members_dev = members_t0
+        return graph, medoid, entry_centroids, entry_nodes, members_dev
     if return_membership:
         members_np = np.asarray(members_t0).astype(np.int32, copy=True)
         # Rows beyond n (bucket padding routed to the dump cluster) never

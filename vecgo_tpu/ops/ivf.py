@@ -370,9 +370,14 @@ def compact_members_primary(members, vectors_dev, group: int = 8):
     k, s = members.shape
     k_pad = ((k + group - 1) // group) * group
     if k_pad > k:
-        m = np.full((k_pad, s), -1, np.int32)
-        m[:k] = np.asarray(members)
-        members = m
+        if isinstance(members, jax.Array):
+            members = jnp.pad(
+                members, ((0, k_pad - k), (0, 0)), constant_values=-1
+            )
+        else:
+            m = np.full((k_pad, s), -1, np.int32)
+            m[:k] = np.asarray(members)
+            members = m
     mdev = members if isinstance(members, jax.Array) else jnp.asarray(members)
     n = vectors_dev.shape[0]
     rn = _member_res_norms(mdev, vectors_dev, group=group)

@@ -182,6 +182,45 @@ def train_kmeans(
     return np.asarray(centers), float(inertia)
 
 
+def train_kmeans_dev(
+    x,
+    k: int,
+    iters: int = 15,
+    seed: int = 42,
+    block_rows: int = 4096,
+    sample: int = 65536,
+):
+    """Device-resident train_kmeans: x is a jax.Array already on device and
+    the returned (centers [k, d] f32, inertia) are DEVICE values — zero
+    host↔device traffic end-to-end (train_kmeans's host round-trip moves the
+    training sample D2H and the centers both ways; on a degraded dev-tunnel
+    link that 4 MB sample alone measured ~11 s at 1M, build_fast profile
+    2026-08-18). Sampling/seeding indices come from host RNG (tiny uploads)
+    so the math matches train_kmeans's semantics.
+
+    Callers needing host centers pay the (small) D2H themselves. Assumes
+    n >= k (the degenerate pad path stays host-only in train_kmeans).
+    """
+    r = np.random.default_rng(seed)
+    n = int(x.shape[0])
+    if n > sample:
+        idx = r.choice(n, sample, replace=False)
+        x = jnp.take(x, jnp.asarray(idx, dtype=jnp.int32), axis=0)
+        n = sample
+    x = x.astype(jnp.float32)
+    block_rows = min(block_rows, n)
+    pad = (-n) % block_rows
+    if pad:
+        x = jnp.concatenate([x, x[:pad]], axis=0)
+    if k <= 256:
+        init = _kmeanspp_init_jit(x[:n], jax.random.PRNGKey(seed), k)
+    else:
+        init = jnp.take(
+            x, jnp.asarray(r.choice(n, k, replace=False), dtype=jnp.int32), axis=0
+        )
+    return _lloyd(x, init, iters, block_rows)
+
+
 def train_kmeans_grouped(
     x_groups: np.ndarray,  # [G, N, dsub]
     k: int,
