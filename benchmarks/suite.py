@@ -110,6 +110,24 @@ def run_config(kind, n, d, batch, k, selectivity, engine_opts, compact=False):
     t0 = time.perf_counter()
     ids_fast, _ = db.search_arrays(qb_dev, k=k, **fast_kw)
     out["pipelined_fast_qps"] = round(nq_bulk / (time.perf_counter() - t0), 1)
+
+    # Streaming serving throughput: B=1024 batches, `depth` in flight
+    # (search_arrays_stream) — the sustained-QPS shape where the per-call
+    # round trip is hidden under the next batch's compute.
+    sb = 1024
+    n_stream = max(8, (2 * nq_bulk) // sb)
+    stream_batches = [
+        jnp.asarray(q_bulk[(i * sb) % nq_bulk :][:sb]) for i in range(n_stream)
+    ]
+    stream_batches = [b_ for b_ in stream_batches if b_.shape[0] == sb]
+    for _ in db.search_arrays_stream(stream_batches[:2], k=k):
+        pass  # warm
+    t0 = time.perf_counter()
+    got_n = sum(
+        ids_.shape[0] for ids_, _ in db.search_arrays_stream(stream_batches, k=k)
+    )
+    out["stream_qps_b1024"] = round(got_n / (time.perf_counter() - t0), 1)
+
     # recall vs host brute force on a query subsample
     sub = min(64, batch)
     _, ti = tu.brute_force_knn(q[:sub], x, k, "l2")
@@ -202,12 +220,13 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
     log(
-        f"{'dist':<12} {'qps':>9} {'pipe_qps':>9} {'recall':>7} "
-        f"{'f_rec@1':>8} {'f_rec@10':>9} {'f_rec@50':>9}"
+        f"{'dist':<12} {'qps':>9} {'pipe_qps':>9} {'strm_qps':>9} "
+        f"{'recall':>7} {'f_rec@1':>8} {'f_rec@10':>9} {'f_rec@50':>9}"
     )
     for r in rows:
         log(
             f"{r['dist']:<12} {r['qps']:>9} {r.get('pipelined_qps', '-'):>9} "
+            f"{r.get('stream_qps_b1024', '-'):>9} "
             f"{r['recall']:>7} {r.get('filtered_recall@1pct', '-'):>8} "
             f"{r.get('filtered_recall@10pct', '-'):>9} "
             f"{r.get('filtered_recall@50pct', '-'):>9}"

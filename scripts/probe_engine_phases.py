@@ -118,6 +118,28 @@ for b in BATCHES:
             f"plan {st.planning_time_s*1e3:6.1f}  score {st.scoring_time_s*1e3:7.1f}  "
             f"drain {st.rerank_time_s*1e3:7.1f}  finish {st.materialize_time_s*1e3:7.1f}"
         )
+
+# Streaming serving (inter-batch pipelining): B=1024 batches, depth in flight.
+sb = 1024
+n_stream = max(8, max(BATCHES) // sb)
+stream_q = [qd_all[(i * sb) % len(qd_all):][:sb] for i in range(n_stream)]
+stream_q = [q_ for q_ in stream_q if q_.shape[0] == sb]
+opts = SearchOptions(k=10)
+for depth in (1, 2, 3, 4):
+    for _ in search_mod.search_snapshot_stream(
+        snap, eng.pk, stream_q[:2], opts, eng.options,
+        device_budget=eng._device_budget, depth=depth,
+    ):
+        pass  # warm
+    t0 = time.perf_counter()
+    n_got = 0
+    for ids, _, _, _ in search_mod.search_snapshot_stream(
+        snap, eng.pk, stream_q, opts, eng.options,
+        device_budget=eng._device_budget, depth=depth,
+    ):
+        n_got += ids.shape[0]
+    dt = time.perf_counter() - t0
+    log(f"stream B={sb} depth={depth}: {n_got/dt:10.0f} qps  ({dt*1e3:.1f} ms / {n_got} queries)")
 # ---- micro-decomposition: device compute vs merge vs D2H (B=4096) ----
 qd = qd_all[:4096]
 opts = SearchOptions(k=10)

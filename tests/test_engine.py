@@ -562,6 +562,32 @@ def test_search_arrays_matches_search_batch():
     assert np.isfinite(d_a[:32]).all()
 
 
+def test_search_arrays_stream_matches_sync():
+    """search_arrays_stream (inter-batch pipelined serving) yields exactly the
+    synchronous per-batch results, in order, across segment + memtable
+    sources — including an empty and an odd-sized batch."""
+    eng = new_engine()
+    x = tu.gaussian_vectors(2500, D, seed=84)
+    eng.insert_batch(x)
+    eng.commit()
+    eng.insert_batch(tu.gaussian_vectors(40, D, seed=85))  # memtable source
+    rng = np.random.default_rng(86)
+    batches = [
+        tu.gaussian_vectors(int(b), D, seed=87 + i)
+        for i, b in enumerate(rng.integers(1, 96, size=7))
+    ]
+    outs = list(eng.search_arrays_stream(iter(batches), k=5, depth=3))
+    assert len(outs) == len(batches)
+    for qb, (ids_s, d_s) in zip(batches, outs):
+        ids_a, d_a = eng.search_arrays(qb, k=5)
+        assert (ids_s == ids_a).all()
+        assert np.allclose(d_s, d_a, equal_nan=True)
+    # a stream also works on a fully empty engine (empty plan per batch)
+    eng2 = new_engine()
+    (ids_e, d_e), = list(eng2.search_arrays_stream([batches[0]], k=3))
+    assert (ids_e == -1).all() and np.isinf(d_e).all()
+
+
 def test_bulk_explicit_ids_toctou_recheck(monkeypatch):
     """ADVICE r2: the explicit-id bulk freshness gate re-runs under the engine
     lock; a race that lands the same ids between gate and lock must divert to

@@ -89,6 +89,11 @@ class DB:
         """Bulk serving path: (ids, dists) arrays, pipelined chunks."""
         return self.engine.search_arrays(qs, k, **kw)
 
+    def search_arrays_stream(self, batches, k: int = 10, depth: int = 3, **kw):
+        """Sustained serving: keep `depth` query batches in flight; yields
+        (ids, dists) per batch (one consistent snapshot for the stream)."""
+        return self.engine.search_arrays_stream(batches, k, depth=depth, **kw)
+
     def hybrid_search(self, q, text: str, k: int = 10, **kw):
         return self.engine.hybrid_search(q, text, k, **kw)
 

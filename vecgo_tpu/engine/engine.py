@@ -633,6 +633,60 @@ class Engine:
             self._tracker.unregister(snap)
             snap.release()
 
+    def search_arrays_stream(self, batches, k: int = 10, depth: int = 3, **kw):
+        """Sustained-throughput serving: iterate over query batches keeping up
+        to `depth` of them in flight on the device; yields (ids [B,k] int64,
+        dists [B,k] f32) per batch in input order. Batch i+1's upload/compute
+        overlaps batch i's result transfer, hiding the per-call round-trip
+        that bounds synchronous `search_arrays` on high-latency links — the
+        TPU analogue of the reference's concurrent BatchSearch
+        (engine.go:1303-1366). The whole stream reads ONE snapshot (a single
+        consistent view, like one BatchSearch call)."""
+        if self._closed:
+            raise ErrClosed("engine is closed")
+        opts = SearchOptions(k=k)
+        for key, val in kw.items():
+            if not hasattr(opts, key):
+                raise TypeError(f"unknown search option {key!r}")
+            setattr(opts, key, val)
+        opts.selectivity_cutoff = kw.get(
+            "selectivity_cutoff", self.options.selectivity_cutoff
+        )
+
+        def _validated(batches):
+            for qs in batches:
+                if not (
+                    hasattr(qs, "devices") and hasattr(qs, "block_until_ready")
+                ):
+                    qs = np.asarray(qs, np.float32)
+                if qs.ndim != 2 or qs.shape[1] != self.options.dim:
+                    raise ErrDimensionMismatch(f"query shape {qs.shape}")
+                yield qs
+
+        snap = self.snapshot()
+        self._tracker.register(snap)
+        t_search = time.time()
+        nq = 0
+        try:
+            for ids, dists, _, _ in search_mod.search_snapshot_stream(
+                snap,
+                self.pk,
+                _validated(batches),
+                opts,
+                self.options,
+                device_budget=self._device_budget,
+                need_locations=False,
+                depth=depth,
+            ):
+                nq += ids.shape[0]
+                yield ids, dists
+            obs = self.options.observer
+            if obs is not None and nq:
+                obs.on_search(nq, time.time() - t_search)
+        finally:
+            self._tracker.unregister(snap)
+            snap.release()
+
     def search_batch(self, qs, k: int = 10, **kw) -> List[SearchResult]:
         """Batched search (reference: BatchSearch engine.go:1303; on TPU the
         batch IS the natural unit — queries ride one device program)."""

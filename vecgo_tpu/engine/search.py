@@ -599,15 +599,33 @@ def search_snapshot(
             time.sleep(0.5 * (attempt + 1))
 
 
-def _search_snapshot_impl(
-    snap,
-    pk,
-    q,
-    opts: SearchOptions,
-    options,
-    device_budget=None,
-    need_locations: bool = True,
-):
+@dataclass
+class _PendingBatch:
+    """A dispatched-but-not-drained query batch.
+
+    Device work (and, for single-chunk coded batches, the D2H copy) is already
+    in flight when this object exists; `_drain_batch` blocks only on the
+    transfer. Streaming callers keep several of these alive so batch i+1's
+    upload/compute overlaps batch i's drain."""
+
+    plan: Any
+    chunks: list
+    coded: bool
+    slot_seg_ids: list
+    b: int
+    n_chunks: int
+    dist_comps: int
+    nodes_visited: int
+    stats: Any
+    t0: float
+    t_plan: float
+    t_score: float
+    q: Any  # original query batch, retained for dispatch-bug replays
+
+
+def _dispatch_batch(
+    snap, pk, q, opts: SearchOptions, options, device_budget=None
+) -> _PendingBatch:
     import jax
     import jax.numpy as jnp
 
@@ -616,7 +634,6 @@ def _search_snapshot_impl(
     t0 = time.perf_counter()
     stats = QueryStats() if opts.with_stats else None
     k = opts.k
-    fetch_k = max(k * max(opts.refine_factor, 1), k)
 
     qd = q if isinstance(q, jax.Array) else jnp.asarray(q, jnp.float32)
     qd = qd.astype(jnp.float32)
@@ -628,12 +645,9 @@ def _search_snapshot_impl(
     t_plan = time.perf_counter()
 
     if not plan.sources:
-        empty_ids = np.full((b, k), -1, np.int64)
-        empty_d = np.full((b, k), np.inf, np.float32)
-        if stats:
-            stats.strategy = "empty"
-            stats.total_time_s = time.perf_counter() - t0
-        return empty_ids, empty_d, [[] for _ in range(b)], stats
+        return _PendingBatch(
+            plan, [], True, [], b, 0, 0, 0, stats, t0, t_plan, t_plan, q
+        )
 
     # Churn-aware merge width: every dirty (multi-version) id can surface one
     # stale row per source inside the merge window, silently displacing valid
@@ -649,7 +663,7 @@ def _search_snapshot_impl(
     coded = _coded_mergeable(plan) and dirty_n <= _VIS_MARGIN_CAP
     slot_seg_ids = [s.seg_id for s in plan.sources]
 
-    # ---- dispatch all chunks (device, async), then ONE stacked drain ----
+    # ---- dispatch all chunks (device, async) ----
     chunks = []
     dist_comps = nodes_visited = 0
     n_chunks = (b + CHUNK_B - 1) // CHUNK_B if b > CHUNK_B else 1
@@ -668,7 +682,55 @@ def _search_snapshot_impl(
             chunks.append(packed)
         else:
             chunks.append(reranked)
+    if coded and len(chunks) == 1:
+        # Start the D2H now: a streaming caller dispatches the NEXT batch
+        # before draining this one, so the transfer rides under that batch's
+        # compute. (Multi-chunk batches stack on device at drain time.)
+        try:
+            chunks[0].copy_to_host_async()
+        except Exception:  # noqa: BLE001 — an eager-copy miss is perf-only
+            pass
     t_score = time.perf_counter()
+    return _PendingBatch(
+        plan,
+        chunks,
+        coded,
+        slot_seg_ids,
+        b,
+        n_chunks,
+        dist_comps,
+        nodes_visited,
+        stats,
+        t0,
+        t_plan,
+        t_score,
+        q,
+    )
+
+
+def _drain_batch(pending: _PendingBatch, snap, pk, opts, need_locations=True):
+    import jax.numpy as jnp
+
+    k = opts.k
+    plan = pending.plan
+    b = pending.b
+    stats = pending.stats
+    t0, t_plan, t_score = pending.t0, pending.t_plan, pending.t_score
+
+    if not plan.sources:
+        empty_ids = np.full((b, k), -1, np.int64)
+        empty_d = np.full((b, k), np.inf, np.float32)
+        if stats:
+            stats.strategy = "empty"
+            stats.total_time_s = time.perf_counter() - t0
+        return empty_ids, empty_d, [[] for _ in range(b)], stats
+
+    chunks = pending.chunks
+    coded = pending.coded
+    slot_seg_ids = pending.slot_seg_ids
+    n_chunks = pending.n_chunks
+    dist_comps = pending.dist_comps
+    nodes_visited = pending.nodes_visited
 
     out_ids = np.empty((b, k), np.int64)
     out_d = np.empty((b, k), np.float32)
@@ -731,6 +793,78 @@ def _search_snapshot_impl(
             + (" filtered" if plan.filtered else "")
         )
     return out_ids, out_d, out_loc, stats
+
+
+def _search_snapshot_impl(
+    snap,
+    pk,
+    q,
+    opts: SearchOptions,
+    options,
+    device_budget=None,
+    need_locations: bool = True,
+):
+    pending = _dispatch_batch(snap, pk, q, opts, options, device_budget)
+    return _drain_batch(pending, snap, pk, opts, need_locations)
+
+
+def search_snapshot_stream(
+    snap,
+    pk,
+    batches,
+    opts: SearchOptions,
+    options,
+    device_budget=None,
+    need_locations: bool = False,
+    depth: int = 3,
+):
+    """Sustained-throughput serving over ONE snapshot: keep up to `depth`
+    query batches in flight, yielding (ids, dists, locs, stats) per batch in
+    input order.
+
+    A synchronous `search_snapshot` call costs one host↔device round trip per
+    batch — on slow links (the dev tunnel: ~35-45 ms RTT) that caps B=1024
+    serving at ~25k QPS regardless of device speed. Here batch i+1's
+    upload/compute dispatches BEFORE batch i's drain blocks, and single-chunk
+    coded results start their D2H copy at dispatch (`copy_to_host_async`), so
+    transfers ride under the next batch's compute. This is the TPU analogue of
+    the reference's concurrent BatchSearch (engine.go:1303-1366, semaphore
+    100) — concurrency in the device queue instead of goroutines.
+
+    Dispatch-bug containment (utils/devbug.py): a failing batch replays
+    through the retry-laddered synchronous path; already-inflight batches
+    drain first so output order is preserved.
+    """
+    from collections import deque
+
+    from vecgo_tpu.utils.devbug import _errors
+
+    inflight: "deque[_PendingBatch]" = deque()
+
+    def _finish(pend: _PendingBatch):
+        try:
+            return _drain_batch(pend, snap, pk, opts, need_locations)
+        except _errors():
+            return search_snapshot(
+                snap, pk, pend.q, opts, options, device_budget, need_locations
+            )
+
+    for q in batches:
+        try:
+            inflight.append(
+                _dispatch_batch(snap, pk, q, opts, options, device_budget)
+            )
+        except _errors():
+            while inflight:
+                yield _finish(inflight.popleft())
+            yield search_snapshot(
+                snap, pk, q, opts, options, device_budget, need_locations
+            )
+            continue
+        if len(inflight) >= depth:
+            yield _finish(inflight.popleft())
+    while inflight:
+        yield _finish(inflight.popleft())
 
 
 def _finish_wide(reranked, snap, pk, opts):
