@@ -1,13 +1,21 @@
 """Benchmark: QPS/chip at recall@10 >= 0.95 over a 1M x 128d corpus.
 
-Measures BOTH engine paths on real hardware and reports the better one as the
-headline (both in extras):
-  - flat exact scan: one bf16 matmul sweep + TPU-native approx top-k
-    (exact distances, ~0.99-recall selection) — the TPU-first surprise is that
-    this already clears 100k QPS/chip at N=1M,
-  - Vamana beam search + exact rerank (the >HBM-scale path).
+Measures the engine paths on real hardware and reports the best one as the
+headline (all in extras):
+  - flat exact scan: one bf16 matmul sweep + exact f32 rerank of a (k+8) pool
+    (full-precision distances at near-bf16 speed),
+  - engine-level serving through the full planner/MVCC stack (search_arrays),
+  - Vamana/coded-IVF beam serving (the >HBM-scale path),
+  - beyond-HBM streaming + cluster-cached tiers.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+The line is emitted from a finally block with whatever phases succeeded —
+a single phase failure can never destroy the round's scoreboard again
+(round 3 lost every metric to one unprotected exception, VERDICT.md).
+
+Also emits "curve": [{path, qps, recall, ...config}] — the recall-vs-QPS
+frontier across flat and graph configs — plus best_qps_at_{95,97,99} summary
+points and P50/P95/P99 single-query latency.
 
 vs_baseline compares against the reference's best committed unfiltered search
 throughput (10,759 QPS on its 10k x 128d fixture, benchmark_test/baseline.txt:33
@@ -15,7 +23,12 @@ throughput (10,759 QPS on its 10k x 128d fixture, benchmark_test/baseline.txt:33
 favorable-to-the-reference comparison available; our corpus is 100x larger).
 
 Env knobs: BENCH_N (default 1_000_000), BENCH_D (128), BENCH_BATCH (4096),
-BENCH_MODE (auto|flat|vamana).
+BENCH_MODE (auto|flat|vamana), BENCH_BUDGET_S (1800).
+
+JIT RULE (hard driver constraint): never close a jitted function over a
+corpus-sized array — captured arrays are baked into the program as constants
+and the remote-compile request exceeds the tunnel's body limit (HTTP 413,
+the round-3 crash). Pass them as arguments.
 """
 
 import functools
@@ -23,6 +36,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -72,6 +86,8 @@ def _rerank_coded_jit():
 
 @functools.lru_cache(maxsize=1)
 def _rerank_jit():
+    """Exact f32-HIGHEST rerank of a row pool. The corpus (xd) and its norms
+    (rnorm2) are ARGUMENTS, not closure captures — see the JIT RULE above."""
     import jax
     import jax.numpy as jnp
 
@@ -79,10 +95,13 @@ def _rerank_jit():
     def _rr(q, rows, xd, rnorm2):
         safe = jnp.maximum(rows, 0)
         v = jnp.take(xd, safe, axis=0)
-        prod = jnp.einsum("bcd,bd->bc", v, q, precision=jax.lax.Precision.HIGHEST)
-        qn = jnp.sum(q * q, axis=-1, keepdims=True)
+        qf = q.astype(jnp.float32)
+        prod = jnp.einsum(
+            "bcd,bd->bc", v, qf, precision=jax.lax.Precision.HIGHEST
+        )
+        qn = jnp.sum(qf * qf, axis=-1, keepdims=True)
         dd = qn + jnp.take(rnorm2, safe) - 2.0 * prod
-        return jnp.where(rows >= 0, dd, jnp.inf)
+        return jnp.where(rows >= 0, jnp.maximum(dd, 0.0), jnp.inf)
 
     return _rr
 
@@ -99,7 +118,27 @@ def _timed(fn, reps=10):
     return (time.perf_counter() - t0) / reps
 
 
-def main():
+def _percentiles(fn, reps=40):
+    """Single-call latency distribution (ms): p50/p95/p99."""
+    import jax
+
+    jax.block_until_ready(fn())  # warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        ts.append((time.perf_counter() - t0) * 1e3)
+    ts = np.asarray(ts)
+    return (
+        round(float(np.percentile(ts, 50)), 2),
+        round(float(np.percentile(ts, 95)), 2),
+        round(float(np.percentile(ts, 99)), 2),
+    )
+
+
+def main(results, curve, extras):
+    """Fills results/curve/extras IN PLACE so a fatal crash still emits
+    whatever was collected (the __main__ block prints from a finally)."""
     n = int(os.environ.get("BENCH_N", 1_000_000))
     d = int(os.environ.get("BENCH_D", 128))
     mode = os.environ.get("BENCH_MODE", "auto")
@@ -125,9 +164,10 @@ def main():
     from vecgo_tpu.ops import topk as T
 
     t_process = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1800))
     rng = np.random.default_rng(42)
-    extras = {"n": n, "d": d, "mode": mode, "batch": batch,
-              "device": str(jax.devices()[0])}
+    extras.update({"n": n, "d": d, "mode": mode, "batch": batch,
+                   "device": str(jax.devices()[0])})
 
     log(f"generating {n}x{d} clustered corpus...")
     n_clusters = 1024
@@ -142,7 +182,10 @@ def main():
     # Reference: BatchInsertDeferred ~2M vec/s (doc.go:33-35). Host-only path
     # (one memtable slab write + one PK block per batch), measured BEFORE the
     # device-heavy phases: this environment slows host loops in processes
-    # that have run large device programs (docs/PERF.md).
+    # that have run large device programs (docs/PERF.md). The engine is KEPT
+    # for the engine-level serving phase below.
+    eng = None
+    ids_arr = None
     try:
         from vecgo_tpu.blobstore import MemoryStore
         from vecgo_tpu.engine import Engine, EngineOptions
@@ -151,16 +194,15 @@ def main():
             MemoryStore(), EngineOptions(dim=d, flush_threshold=2**62), create=True
         )
         t0 = time.perf_counter()
-        eng.insert_batch(x)
+        ids_list = eng.insert_batch(x)
         dt = time.perf_counter() - t0
-        del eng
+        ids_arr = np.asarray(ids_list, np.int64)
         extras["ingest_vps"] = round(n / dt, 1)
         extras["ingest_vs_go_deferred"] = round(n / dt / 2_064_326.0, 2)
     except Exception as e:  # noqa: BLE001
         log(f"ingest phase failed: {e!r}")
+        log(traceback.format_exc())
         extras["ingest_error"] = repr(e)
-
-
 
     xd = jnp.asarray(x)
     rnorm2 = jnp.sum(xd.astype(jnp.float32) ** 2, axis=1)
@@ -183,10 +225,9 @@ def main():
         )
         return hits / (N_QUERIES * K)
 
-    results = {}  # name -> (qps, recall)
-
     # ---------------- flat exact scan (bf16 fast + f32-HIGH near-exact) ----
-    if mode in ("auto", "flat"):
+    try:
+      if mode in ("auto", "flat"):
         log("flat exact scan...")
         xb16 = jnp.asarray(x, jnp.bfloat16)
 
@@ -205,48 +246,144 @@ def main():
         # bf16 single-pass scan over a (K+8) pool + exact f32-HIGHEST rerank
         # of the pool on device — the engine's FlatSegment.search default
         # (scan_dtype="bf16"): full-precision distances, pool margin absorbs
-        # bf16 ranking noise. Near-f32 recall at near-bf16 speed.
-        import jax as _jax
-
-        @_jax.jit
-        def _rr_exact(queries, rows):
-            safe = jnp.maximum(rows, 0)
-            v = jnp.take(xd, safe, axis=0)  # [B, C, d] f32
-            qf = queries.astype(jnp.float32)
-            prod = jnp.einsum(
-                "bcd,bd->bc", v, qf, precision=_jax.lax.Precision.HIGHEST
-            )
-            qn = jnp.sum(qf * qf, axis=-1, keepdims=True)
-            dd = qn + jnp.take(rnorm2, safe, axis=0) - 2.0 * prod
-            return jnp.where(rows >= 0, jnp.maximum(dd, 0.0), jnp.inf)
-
+        # bf16 ranking noise. Near-f32 recall at near-bf16 speed. The rerank
+        # takes xd/rnorm2 as jit ARGUMENTS (round 3 crashed here by closing
+        # over them — 512 MB of baked constants -> remote-compile HTTP 413).
         def flat_rr(queries):
             _, rows = T.blockwise_topk_search(
                 queries, xb16, K + 8, metric=Metric.L2, x_norms_sq=rnorm2,
                 block_rows=min(131072, n), compute_dtype=jnp.bfloat16,
             )
-            dd = _rr_exact(queries, rows)
+            dd = _rerank_jit()(queries, rows, xd, rnorm2)
             return T.topk_smallest_with_ids(dd, rows, K)
 
         for name, fn in (
             ("flat_bf16", flat16), ("flat_rr", flat_rr), ("flat_f32", flat32),
         ):
-            _, ids = fn(qd)
-            rec = recall(np.asarray(ids))
-            dt = _timed(lambda: fn(qb)[1])
-            results[name] = (batch / dt, rec)
-            extras[f"{name}_qps"] = round(batch / dt, 1)
-            extras[f"{name}_recall"] = round(rec, 4)
-            extras[f"{name}_ms_per_batch"] = round(dt * 1e3, 1)
+            try:
+                _, ids = fn(qd)
+                rec = recall(np.asarray(ids))
+                dt = _timed(lambda: fn(qb)[1])
+                results[name] = (batch / dt, rec)
+                extras[f"{name}_qps"] = round(batch / dt, 1)
+                extras[f"{name}_recall"] = round(rec, 4)
+                extras[f"{name}_ms_per_batch"] = round(dt * 1e3, 1)
+                curve.append({
+                    "path": name, "qps": round(batch / dt, 1),
+                    "recall": round(rec, 4),
+                })
+            except Exception as e:  # noqa: BLE001
+                log(f"flat variant {name} failed: {e!r}")
+                log(traceback.format_exc())
+                extras[f"{name}_error"] = repr(e)
+
+        # Single-query latency through the best flat path (reference:
+        # baseline.txt:84 P50/P95/P99 on its 10k fixture; ours is at 1M).
+        try:
+            q1 = qd[:1]
+            p50, p95, p99 = _percentiles(lambda: flat_rr(q1)[1])
+            extras["flat_rr_p50_ms"] = p50
+            extras["flat_rr_p95_ms"] = p95
+            extras["flat_rr_p99_ms"] = p99
+        except Exception as e:  # noqa: BLE001
+            log(f"flat latency failed: {e!r}")
+            extras["flat_latency_error"] = repr(e)
+    except Exception as e:  # noqa: BLE001
+        log(f"flat phase failed: {e!r}")
+        log(traceback.format_exc())
+        extras["flat_error"] = repr(e)
+
+    # ---------------- engine-level serving (full planner/MVCC stack) -------
+    # The reference's baseline numbers are ENGINE-level (baseline.txt:33 goes
+    # through the whole engine, not raw kernels). Commit the ingested rows to
+    # a flat segment and serve through Engine.search_arrays.
+    try:
+        if eng is not None and ids_arr is not None and mode in ("auto", "flat"):
+            log("engine commit (memtable -> flat segment)...")
+            t0 = time.perf_counter()
+            eng.commit()
+            extras["commit_s"] = round(time.perf_counter() - t0, 1)
+
+            def eng_run(queries):
+                return eng.search_arrays(queries, k=K)[0]
+
+            ids_e = np.asarray(eng_run(qd))
+            # engine returns external ids; map ground-truth rows -> ids
+            hits = sum(
+                len(set(map(int, ids_e[b]))
+                    & set(map(int, ids_arr[gt_i[b]])))
+                for b in range(N_QUERIES)
+            )
+            rec_e = hits / (N_QUERIES * K)
+            dt = _timed(lambda: eng_run(qb), reps=5)
+            results["engine_flat"] = (batch / dt, rec_e)
+            extras["engine_flat_qps"] = round(batch / dt, 1)
+            extras["engine_flat_recall"] = round(rec_e, 4)
+            extras["engine_flat_ms_per_batch"] = round(dt * 1e3, 1)
+            curve.append({
+                "path": "engine_flat", "qps": round(batch / dt, 1),
+                "recall": round(rec_e, 4),
+            })
+            # under-load per-query latency = batch time / batch size;
+            # single-query latency percentiles:
+            try:
+                q1 = qd[:1]
+                p50, p95, p99 = _percentiles(lambda: eng_run(q1), reps=30)
+                extras["engine_p50_ms"] = p50
+                extras["engine_p95_ms"] = p95
+                extras["engine_p99_ms"] = p99
+                extras["engine_underload_ms_per_query"] = round(
+                    dt * 1e3 / batch, 4
+                )
+            except Exception as e:  # noqa: BLE001
+                log(f"engine latency failed: {e!r}")
+                extras["engine_latency_error"] = repr(e)
+            # Sustained pipelined serving (search_arrays_stream, depth=3).
+            try:
+                n_stream = 8
+                stream_batches = [qb] * n_stream
+
+                def stream_all():
+                    outs = None
+                    for outs in eng.search_arrays_stream(
+                        iter(stream_batches), k=K, depth=3
+                    ):
+                        pass
+                    return outs
+
+                stream_all()  # warm
+                t0 = time.perf_counter()
+                stream_all()
+                dt_s = time.perf_counter() - t0
+                extras["engine_stream_qps"] = round(
+                    n_stream * batch / dt_s, 1
+                )
+            except Exception as e:  # noqa: BLE001
+                log(f"engine stream failed: {e!r}")
+                extras["engine_stream_error"] = repr(e)
+    except Exception as e:  # noqa: BLE001
+        log(f"engine phase failed: {e!r}")
+        log(traceback.format_exc())
+        extras["engine_error"] = repr(e)
+    finally:
+        if eng is not None:
+            try:
+                eng.close()
+            except Exception:  # noqa: BLE001
+                pass
+            eng = None
 
     # ---------------- vamana ----------------
-    # The graph build takes minutes at 1M; keep it inside a budget and never
+    # The graph build takes ~10s warm at 1M; keep it inside a budget and never
     # let a failure/timeout suppress the output line (flat results above
     # already satisfy the headline).
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1800))
     run_vamana = mode == "vamana" or (
         mode == "auto" and time.perf_counter() - t_process < budget_s
     )
+    table = None
+    n_vam = n
+    xvd = xd
+    rnv = rnorm2
     try:
       if run_vamana:
         from vecgo_tpu.index.build_fast import build_graph_clustered
@@ -254,7 +391,7 @@ def main():
 
         r = int(os.environ.get("BENCH_R", 32))
         alpha = float(os.environ.get("BENCH_ALPHA", 1.5))
-        # The clustered (search-free) build runs the FULL corpus: ~25 s
+        # The clustered (search-free) build runs the FULL corpus: ~10 s
         # device-resident at 1M x 128d warm (vs ~26 min for the round-1
         # search-based build). Cold adds one-time compiles (cached across
         # processes by the persistent compile cache).
@@ -299,8 +436,6 @@ def main():
         # Reference build baseline: HNSW 25,368 vec/s (baseline.txt:90), an
         # in-RAM build; ours is the in-HBM analogue.
         extras["build_vs_go_hnsw"] = round(n_vam / t_build / 25368.0, 2)
-
-        from vecgo_tpu.ops import distance as Dops
 
         xvd = jnp.asarray(xv)
         rnv = jnp.sum(xvd * xvd, axis=1)
@@ -391,52 +526,97 @@ def main():
             sd2, si2 = jax.lax.sort((rd, pool.astype(jnp.int32)), num_keys=1)
             return sd2[:, :K], si2[:, :K]
 
-        chosen = None
         # The serving table's S equals the build's cluster_size (1024): each
         # probe covers 2x the rows of the round-2 S=512 table, so the sweep
         # starts at half the probe counts. qcap=0 means auto (3x the average
         # probes/cluster); explicit tighter qcaps trade drop-rate (rescued by
         # refinement + rerank) for linear scan-cost savings — the round-2
         # ablation's dominant knob.
-        # Phase 1: recall-screen configs cheapest-first; collect the passing
-        # ones. Phase 2: TIME the first few passers and keep the fastest
-        # (cheap-looking configs are not always fastest: tighter qcaps cut
-        # the scan linearly, refinement adds a fixed gather cost).
-        passing = []
-        for ef, n_probe, refine, qf in (
+        # Phase 1: recall-screen configs cheapest-first; keep screening past
+        # the first passers so the published curve spans the frontier.
+        # Phase 2: TIME the passing configs (plus the highest-recall config
+        # regardless) and keep the fastest >= 0.95 as the headline point.
+        screened = []  # (ef, n_probe, refine, qf, rec)
+        sweep = (
             (48, 4, 0, 1.25), (48, 4, 0, 1.5), (48, 4, 0, 2.0), (48, 4, 0, 0),
             (48, 6, 0, 1.5), (48, 4, 1, 1.5), (48, 6, 0, 0), (48, 8, 0, 1.5),
-            (48, 8, 0, 0), (48, 10, 0, 0), (48, 12, 0, 0),
-            (48, 16, 0, 0), (48, 16, 1, 0), (96, 24, 1, 0), (96, 32, 2, 0),
-        ):
-            log(f"vamana config ef={ef} p={n_probe} r={refine} qf={qf}...")
-            _, ids = vam_run(qd, ef, n_probe, refine, qf)
-            rec = recall_v(np.asarray(ids))
-            extras[f"vamana_recall@ef{ef}p{n_probe}r{refine}qf{qf}"] = round(rec, 4)
-            if rec >= 0.95:
-                passing.append((ef, n_probe, refine, qf, rec))
-            if len(passing) >= 3:
+            (48, 8, 0, 0), (48, 12, 0, 0), (48, 16, 0, 0), (96, 16, 1, 0),
+            (96, 24, 1, 0),
+        )
+        n_pass = 0
+        for ef, n_probe, refine, qf in sweep:
+            if time.perf_counter() - t_process > budget_s:
+                log("budget reached; stopping vamana screens")
                 break
-        if not passing:
-            passing = [(96, 32, 2, 0, rec)]
+            log(f"vamana config ef={ef} p={n_probe} r={refine} qf={qf}...")
+            try:
+                _, ids = vam_run(qd, ef, n_probe, refine, qf)
+                rec = recall_v(np.asarray(ids))
+            except Exception as e:  # noqa: BLE001
+                log(f"  screen failed: {e!r}")
+                continue
+            extras[f"vamana_recall@ef{ef}p{n_probe}r{refine}qf{qf}"] = round(rec, 4)
+            screened.append((ef, n_probe, refine, qf, rec))
+            if rec >= 0.95:
+                n_pass += 1
+            if n_pass >= 5:
+                break
+        # time: all passers + the best non-passer as a low-recall curve point
+        to_time = [s for s in screened if s[4] >= 0.95][:5]
+        below = [s for s in screened if s[4] < 0.95]
+        if below:
+            to_time.append(max(below, key=lambda s: s[4]))
+        if not to_time and screened:
+            to_time = [max(screened, key=lambda s: s[4])]
         best = None
-        for ef, n_probe, refine, qf, rec in passing:
-            dt = _timed(lambda: vam_run(qb, ef, n_probe, refine, qf)[1], reps=5)
+        for ef, n_probe, refine, qf, rec in to_time:
+            if time.perf_counter() - t_process > budget_s * 1.2:
+                log("budget reached; stopping vamana timing")
+                break
+            try:
+                dt = _timed(lambda: vam_run(qb, ef, n_probe, refine, qf)[1], reps=5)
+            except Exception as e:  # noqa: BLE001
+                log(f"  timing failed: {e!r}")
+                continue
             qps = batch / dt
             log(f"  timed ef={ef} p={n_probe} r={refine} qf={qf}: {qps:.0f} qps")
             extras[f"vamana_qps@ef{ef}p{n_probe}r{refine}qf{qf}"] = round(qps, 1)
-            if best is None or qps > best[0]:
+            curve.append({
+                "path": "vamana", "qps": round(qps, 1), "recall": round(rec, 4),
+                "ef": ef, "n_probe": n_probe, "refine": refine, "qf": qf,
+            })
+            if rec >= 0.95 and (best is None or qps > best[0]):
                 best = (qps, ef, n_probe, refine, qf, rec)
-        qps, ef, n_probe, refine, qf, rec = best
-        extras["vamana_ef"] = ef
-        extras["vamana_nprobe"] = n_probe
-        extras["vamana_refine"] = refine
-        extras["vamana_qcap_factor"] = qf
-        results["vamana"] = (qps, rec)
-        extras["vamana_qps"] = round(qps, 1)
-        extras["vamana_recall"] = round(rec, 4)
+        if best is None and curve:
+            vc = [c for c in curve if c["path"] == "vamana"]
+            if vc:
+                b = max(vc, key=lambda c: c["recall"])
+                best = (b["qps"], b["ef"], b["n_probe"], b["refine"], b["qf"],
+                        b["recall"])
+        if best is not None:
+            qps, ef, n_probe, refine, qf, rec = best
+            extras["vamana_ef"] = ef
+            extras["vamana_nprobe"] = n_probe
+            extras["vamana_refine"] = refine
+            extras["vamana_qcap_factor"] = qf
+            results["vamana"] = (qps, rec)
+            extras["vamana_qps"] = round(qps, 1)
+            extras["vamana_recall"] = round(rec, 4)
+            # single-query latency on the chosen graph config
+            try:
+                q1 = qd[:1]
+                p50, p95, p99 = _percentiles(
+                    lambda: vam_run(q1, ef, n_probe, refine, qf)[1], reps=30
+                )
+                extras["vamana_p50_ms"] = p50
+                extras["vamana_p95_ms"] = p95
+                extras["vamana_p99_ms"] = p99
+            except Exception as e:  # noqa: BLE001
+                log(f"vamana latency failed: {e!r}")
+                extras["vamana_latency_error"] = repr(e)
     except Exception as e:  # noqa: BLE001 — never suppress the output line
         log(f"vamana phase failed: {e!r}")
+        log(traceback.format_exc())
         extras["vamana_error"] = repr(e)
 
     # ---------------- beyond-HBM streaming scan ----------------
@@ -466,6 +646,7 @@ def main():
         extras["stream_qps"] = round(256 / dt, 1)
         extras["stream_recall"] = round(rec_s, 4)
         extras["stream_pass_s"] = round(dt, 2)
+        extras["stream_h2d_mb_per_pass"] = round(n * d / 1e6, 1)
     except Exception as e:  # noqa: BLE001
         log(f"streaming phase failed: {e!r}")
         extras["stream_error"] = repr(e)
@@ -480,7 +661,7 @@ def main():
         from vecgo_tpu.index.common import rerank_host_rows
         from vecgo_tpu.ops.ivf_cache import ClusterCachedTable, MemHostTable
 
-        if "table" not in locals():  # vamana phase skipped (flat mode / budget)
+        if table is None:  # vamana phase skipped (flat mode / budget)
             raise RuntimeError("skipped: no coded table (vamana phase not run)")
         log("cluster-cached serving phase...")
         t0 = time.perf_counter()
@@ -544,25 +725,58 @@ def main():
         extras["cached_recall"] = round(rec_c, 4)
         extras["cached_misses"] = cc.stats["misses"]
         extras["cached_dropped"] = cc.stats["dropped_probes"]
+        extras["cached_h2d_bytes_per_query"] = round(
+            cc.stats["h2d_bytes"] / max(1, len(qc)), 1
+        )
     except Exception as e:  # noqa: BLE001
         log(f"cached phase failed: {e!r}")
         extras["cached_error"] = repr(e)
 
-    # ---------------- headline ----------------
+
+def _emit(results, curve, extras, n, d):
+    # frontier summary: best QPS at each recall tier, across all paths
+    for tier, key in ((0.95, "best_qps_at_95"), (0.97, "best_qps_at_97"),
+                      (0.99, "best_qps_at_99")):
+        pts = [c for c in curve if c["recall"] >= tier]
+        if pts:
+            b = max(pts, key=lambda c: c["qps"])
+            extras[key] = b["qps"]
+            extras[key + "_path"] = b["path"]
+    if curve:
+        extras["curve"] = sorted(curve, key=lambda c: -c["qps"])
     ok = {k: v for k, v in results.items() if v[1] >= 0.95} or results
-    best = max(ok.items(), key=lambda kv: kv[1][0])
-    name, (qps, rec) = best
-    out = {
-        "metric": f"QPS/chip at recall@10>=0.95 ({n}x{d}, best path)",
-        "value": round(qps, 1),
-        "unit": "qps",
-        "vs_baseline": round(qps / BASELINE_QPS, 2),
-        "best_path": name,
-        "recall@10": round(rec, 4),
-        **extras,
-    }
-    print(json.dumps(out))
+    if ok:
+        name, (qps, rec) = max(ok.items(), key=lambda kv: kv[1][0])
+        out = {
+            "metric": f"QPS/chip at recall@10>=0.95 ({n}x{d}, best path)",
+            "value": round(qps, 1),
+            "unit": "qps",
+            "vs_baseline": round(qps / BASELINE_QPS, 2),
+            "best_path": name,
+            "recall@10": round(rec, 4),
+            **extras,
+        }
+    else:
+        out = {
+            "metric": f"QPS/chip at recall@10>=0.95 ({n}x{d}, best path)",
+            "value": 0.0,
+            "unit": "qps",
+            "vs_baseline": 0.0,
+            "best_path": "none",
+            **extras,
+        }
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    _n = int(os.environ.get("BENCH_N", 1_000_000))
+    _d = int(os.environ.get("BENCH_D", 128))
+    _results, _curve, _extras = {}, [], {}
+    try:
+        main(_results, _curve, _extras)
+    except BaseException as e:  # noqa: BLE001 — the JSON line must survive
+        log(f"bench crashed: {e!r}")
+        log(traceback.format_exc())
+        _extras["fatal_error"] = repr(e)
+    finally:
+        _emit(_results, _curve, _extras, _n, _d)

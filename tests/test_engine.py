@@ -576,6 +576,8 @@ def test_search_arrays_stream_matches_sync():
         tu.gaussian_vectors(int(b), D, seed=87 + i)
         for i, b in enumerate(rng.integers(1, 96, size=7))
     ]
+    # a genuinely empty batch must ride the pipeline too
+    batches.insert(3, np.zeros((0, D), np.float32))
     outs = list(eng.search_arrays_stream(iter(batches), k=5, depth=3))
     assert len(outs) == len(batches)
     for qb, (ids_s, d_s) in zip(batches, outs):
@@ -772,3 +774,50 @@ def test_engine_serve_compact_recall():
     want = {ids[j] for j in ti[0]}
     got = {c.id for c in res}
     assert len(got & want) >= 9, (got, want)
+
+
+@pytest.mark.slow
+def test_filtered_graph_recall_mid_selectivity():
+    """Engine-level filtered GRAPH search at mid selectivity (VERDICT r3 #6;
+    reference: dynamic EF expansion hnsw.go:1858-1895, filtered recall 1.000
+    baseline.txt:34-37): one graph segment of 200k rows, a ~45%-selectivity
+    metadata filter (above the 30% brute cutoff, so the mask rides the graph
+    path), recall@10 >= 0.95 vs masked ground truth. Exercises the
+    selectivity-adaptive ef widening in engine/search.py."""
+    from vecgo_tpu.metadata import lt
+
+    n, d = 200_000, 24
+    rng_l = np.random.default_rng(29)
+    x, _ = tu.clustered_vectors(n, d, n_clusters=128, seed=29)
+    cats = rng_l.integers(0, 100, n)
+    eng = new_engine(dim=d, graph_threshold=50_000)
+    ids = eng.insert_batch(x, metadatas=[{"cat": int(c)} for c in cats])
+    eng.commit()
+    eng.compact([h.seg_id for h in eng._segments])
+    seg = eng._segments[-1].segment
+    assert seg.__class__.__name__ == "VamanaSegment" and seg.n == n
+
+    elig = cats < 45  # ~45% selectivity: graph path, not brute
+    assert 0.35 <= elig.mean() <= 0.60
+    nq = 64
+    q = x[rng_l.choice(n, nq, replace=False)] + 0.05 * rng_l.standard_normal(
+        (nq, d)
+    ).astype(np.float32)
+    ids_arr = np.asarray(ids, np.int64)
+    # masked ground truth (exact over eligible rows only)
+    _, ti = tu.brute_force_knn(q, x[elig], 10, "l2")
+    gt_ids = ids_arr[np.flatnonzero(elig)][ti]
+
+    out_ids, _ = eng.search_arrays(q, k=10, filter=lt("cat", 45))
+    out_ids = np.asarray(out_ids)
+    # every hit satisfies the filter
+    pos = {int(i): j for j, i in enumerate(ids_arr)}
+    for b in range(nq):
+        for i in out_ids[b]:
+            if int(i) >= 0:
+                assert cats[pos[int(i)]] < 45
+    rec = np.mean([
+        len(set(map(int, out_ids[b])) & set(map(int, gt_ids[b]))) / 10
+        for b in range(nq)
+    ])
+    assert rec >= 0.95, f"filtered graph recall {rec:.4f} < 0.95"

@@ -1,5 +1,20 @@
 """Sharded search/kmeans tests on the virtual 8-device CPU mesh
-(SURVEY.md §7.2 stage 7)."""
+(SURVEY.md §7.2 stage 7).
+
+PROCESS ISOLATION: in a full-suite run these tests execute in a fresh
+interpreter (see test_parallel_module_isolated below). Round 3 found an
+order-dependent livelock: after the whole prior suite had run in-process,
+the mesh-collective build test deadlocked forever (all threads in
+futex_wait) — the jax-0.9.0 executable-reuse bug (utils/devbug.py) striking
+one mesh participant leaves the other devices blocked at a collective
+barrier, and nothing ever raises. The identical test passes in isolation.
+A fresh process sidesteps the poisoned runtime state; the conftest watchdog
+(VECGO_TEST_TIMEOUT_S) guarantees termination if any future regression
+reintroduces a hang."""
+
+import os
+import subprocess
+import sys
 
 import numpy as np
 import jax
@@ -9,6 +24,44 @@ import pytest
 from vecgo_tpu.model import Metric
 from vecgo_tpu.parallel import mesh as pm
 from vecgo_tpu.utils import testutil as tu
+
+_ISOLATED = os.environ.get("VECGO_PARALLEL_ISOLATED") == "1"
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+if not _ISOLATED:
+
+    def test_parallel_module_isolated():
+        """Run ALL of this module's mesh tests in a fresh interpreter."""
+        env = dict(os.environ, VECGO_PARALLEL_ISOLATED="1")
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x",
+             os.path.join(_REPO, "tests", "test_parallel.py")],
+            cwd=_REPO, env=env, capture_output=True, text=True, timeout=1800,
+        )
+        sys.stderr.write(r.stdout[-4000:] + r.stderr[-4000:])
+        assert r.returncode == 0, (
+            f"isolated parallel-module run failed (rc={r.returncode})"
+        )
+
+
+@pytest.fixture(autouse=True)
+def _fresh_executables(request):
+    """Skip the mesh tests in-process during a full-suite run (they execute
+    via the isolated wrapper above); when they do run, clear jit caches
+    first: the executable-reuse bug (utils/devbug.py) poisons RE-EXECUTION
+    of cached executables — fresh executables always run correctly, and the
+    persistent compile cache keeps the recompiles cheap."""
+    if request.node.name == "test_parallel_module_isolated":
+        yield
+        return
+    if not _ISOLATED:
+        pytest.skip(
+            "runs in a fresh interpreter via test_parallel_module_isolated "
+            "(jax-0.9.0 executable-reuse bug can livelock mesh collectives "
+            "after a long in-process history; see module docstring)"
+        )
+    jax.clear_caches()
+    yield
 
 
 @pytest.fixture(scope="module")

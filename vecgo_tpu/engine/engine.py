@@ -74,6 +74,12 @@ class EngineOptions:
     retention_duration_s: float = 0.0
     orphan_gc_grace_s: float = 3600.0  # min age before open-time orphan GC deletes
     ef_search: int = 64
+    # Filtered graph search widens ef by 1/selectivity (the reference's
+    # dynamic EF expansion, hnsw.go:1858-1895, capped 20,000) so a 35%-
+    # selectivity filter doesn't get an unfiltered query's ef. This caps the
+    # expansion — batched lockstep search cost scales ~linearly with ef, so
+    # the cap is far below the reference's single-query 20k.
+    ef_filtered_cap: int = 2048
     beam_width: int = 4
     flat_scan_dtype: str = "bf16"  # "bf16" (1-pass MXU scan + exact f32 rerank) | "f32" (3-pass HIGH scan)
     serve_compact: bool = False  # coded-table repack: half HBM, ~2x probes
@@ -641,7 +647,18 @@ class Engine:
         that bounds synchronous `search_arrays` on high-latency links — the
         TPU analogue of the reference's concurrent BatchSearch
         (engine.go:1303-1366). The whole stream reads ONE snapshot (a single
-        consistent view, like one BatchSearch call)."""
+        consistent view, like one BatchSearch call).
+
+        Retention note: that one snapshot is registered for the LIFETIME of
+        the returned generator — a long-lived stream pins its segment set
+        (and files they superseded) against compaction reclaim until the
+        consumer finishes or closes the generator. For unbounded serving
+        loops, re-create the stream periodically to release old segments.
+
+        Option validation, the closed-check, and snapshot acquisition happen
+        EAGERLY at call time (not at the consumer's first next()), so errors
+        surface at the call site and the consistent view is pinned when the
+        caller asks for it."""
         if self._closed:
             raise ErrClosed("engine is closed")
         opts = SearchOptions(k=k)
@@ -665,27 +682,31 @@ class Engine:
 
         snap = self.snapshot()
         self._tracker.register(snap)
-        t_search = time.time()
-        nq = 0
-        try:
-            for ids, dists, _, _ in search_mod.search_snapshot_stream(
-                snap,
-                self.pk,
-                _validated(batches),
-                opts,
-                self.options,
-                device_budget=self._device_budget,
-                need_locations=False,
-                depth=depth,
-            ):
-                nq += ids.shape[0]
-                yield ids, dists
-            obs = self.options.observer
-            if obs is not None and nq:
-                obs.on_search(nq, time.time() - t_search)
-        finally:
-            self._tracker.unregister(snap)
-            snap.release()
+
+        def _run():
+            t_search = time.time()
+            nq = 0
+            try:
+                for ids, dists, _, _ in search_mod.search_snapshot_stream(
+                    snap,
+                    self.pk,
+                    _validated(batches),
+                    opts,
+                    self.options,
+                    device_budget=self._device_budget,
+                    need_locations=False,
+                    depth=depth,
+                ):
+                    nq += ids.shape[0]
+                    yield ids, dists
+                obs = self.options.observer
+                if obs is not None and nq:
+                    obs.on_search(nq, time.time() - t_search)
+            finally:
+                self._tracker.unregister(snap)
+                snap.release()
+
+        return _run()
 
     def search_batch(self, qs, k: int = 10, **kw) -> List[SearchResult]:
         """Batched search (reference: BatchSearch engine.go:1303; on TPU the

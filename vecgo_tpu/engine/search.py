@@ -29,12 +29,15 @@ TPU-first restructuring:
 from __future__ import annotations
 
 import functools
+import logging
 import os
 import time
 from dataclasses import dataclass, field
 from typing import Any, List, Optional
 
 import numpy as np
+
+logger = logging.getLogger("vecgo_tpu")
 
 from vecgo_tpu.index.flat import FlatSegment, bloom_may_contain
 from vecgo_tpu.metadata import Op, as_filterset
@@ -325,6 +328,18 @@ def _dispatch_chunk(plan: _Plan, qd, opts, options):
         else:  # graph
             seg = src.source
             ef = max(opts.ef or options.ef_search, kk)
+            if src.mask is not None and 0 < src.rows_considered < src.n:
+                # Selectivity-adaptive ef (reference: dynamic EF expansion
+                # ef/selectivity capped 20,000, hnsw.go:1858-1895): a mask
+                # rides the graph only above the brute cutoff (~30%), but a
+                # 35%-selectivity filter still drops ~2/3 of traversal
+                # candidates — widen the working set so post-filter survivors
+                # keep k winners. Cap: batched lockstep cost ~linear in ef.
+                sel = src.rows_considered / src.n
+                ef = min(
+                    int(ef / max(sel, 1e-3)),
+                    max(ef, getattr(options, "ef_filtered_cap", 2048)),
+                )
             bw = opts.beam_width or options.beam_width
             gkw = {}
             if opts.graph_refine >= 0:
@@ -844,7 +859,21 @@ def search_snapshot_stream(
     def _finish(pend: _PendingBatch):
         try:
             return _drain_batch(pend, snap, pk, opts, need_locations)
-        except _errors():
+        except _errors() as e:
+            # Only the documented dispatch bug (INVALID_ARGUMENT buffer-count
+            # mismatch, utils/devbug.py) warrants a full synchronous replay —
+            # it is the one failure the sync path's retry ladder can contain.
+            # Any other deterministic error would fail the replay too: paying
+            # a second full execution (and a retry ladder that can release
+            # device state the OTHER inflight batches' chunks depend on,
+            # cascading every remaining batch into a sync replay) just buries
+            # the original traceback. Match the sync ladder's gate.
+            if "INVALID_ARGUMENT" not in str(e):
+                raise
+            logger.warning(
+                "pipelined drain hit the dispatch bug (%s); replaying the "
+                "batch through the synchronous retry ladder", e
+            )
             return search_snapshot(
                 snap, pk, pend.q, opts, options, device_budget, need_locations
             )
@@ -854,7 +883,13 @@ def search_snapshot_stream(
             inflight.append(
                 _dispatch_batch(snap, pk, q, opts, options, device_budget)
             )
-        except _errors():
+        except _errors() as e:
+            if "INVALID_ARGUMENT" not in str(e):
+                raise
+            logger.warning(
+                "pipelined dispatch hit the dispatch bug (%s); draining "
+                "inflight batches and replaying synchronously", e
+            )
             while inflight:
                 yield _finish(inflight.popleft())
             yield search_snapshot(

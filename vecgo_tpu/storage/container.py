@@ -35,9 +35,12 @@ def pack_container(
 ) -> bytes:
     """Serialize meta + sections to container bytes.
 
-    compress="deflate" stores each section zlib-compressed (the analogue of the
-    reference's LZ4/ZSTD block compression, diskann/compression.go:15-65);
-    checksums cover the stored (compressed) bytes.
+    compress="lz4" stores each section LZ4-block-compressed via the native
+    codec (storage/lz4.py — the reference ships LZ4/ZSTD block compression,
+    diskann/compression.go:15-65); "deflate" = zlib level 1. If the native
+    codec can't build, "lz4" degrades to deflate at pack time (readability
+    of existing lz4 segments is preserved by a pure-Python decoder).
+    Checksums cover the stored (compressed) bytes.
     """
     entries = []
     # Compute layout in two passes: header size depends on offsets, offsets on
@@ -56,14 +59,29 @@ def pack_container(
             "shape": list(a.shape),
             "offset": 0,
         }
-        if compress == "deflate":
+        eff = compress
+        if eff == "lz4":
+            from vecgo_tpu.storage import lz4 as _lz4
+
+            if not _lz4.available():
+                eff = "deflate"  # degrade gracefully; logged by lz4.py
+        if eff == "lz4":
+            from vecgo_tpu.storage import lz4 as _lz4
+
+            stored = _lz4.compress(raw)
+            if len(stored) < len(raw):
+                entry["compression"] = "lz4"
+                entry["raw_nbytes"] = len(raw)
+            else:
+                stored = raw
+        elif eff == "deflate":
             stored = zlib.compress(raw, 1)
             if len(stored) < len(raw):
                 entry["compression"] = "deflate"
                 entry["raw_nbytes"] = len(raw)
             else:
                 stored = raw
-        elif compress in (None, "", "none"):
+        elif eff in (None, "", "none"):
             stored = raw
         else:
             raise ValueError(f"unknown compression {compress!r}")
@@ -137,6 +155,14 @@ def _decode_section(e: dict, raw, verify_checksum: bool, copy: bool) -> np.ndarr
         nbytes = len(raw)
         if nbytes != int(e.get("raw_nbytes", -1)):
             raise ErrCorrupt(f"section {name} decompressed size mismatch")
+    elif e.get("compression") == "lz4":
+        from vecgo_tpu.storage import lz4 as _lz4
+
+        try:
+            raw = _lz4.decompress(bytes(raw), int(e.get("raw_nbytes", -1)))
+        except ValueError as ex:
+            raise ErrCorrupt(f"section {name} lz4 decode failed: {ex}")
+        nbytes = len(raw)
     elif e.get("compression"):
         raise ErrCorrupt(f"section {name}: unknown compression")
     dtype = np.dtype(e["dtype"])
@@ -273,22 +299,7 @@ def unpack_container(
             if off < 0 or nbytes < 0 or off + nbytes > len(data):
                 raise ErrCorrupt(f"section {name} out of range")
             raw = data[off : off + nbytes]
-            if verify_checksum and (zlib.crc32(raw) & 0xFFFFFFFF) != e["crc32"]:
-                raise ErrCorrupt(f"section {name} checksum mismatch")
-            if e.get("compression") == "deflate":
-                raw = zlib.decompress(bytes(raw))
-                nbytes = len(raw)
-                if nbytes != int(e.get("raw_nbytes", -1)):
-                    raise ErrCorrupt(f"section {name} decompressed size mismatch")
-            elif e.get("compression"):
-                raise ErrCorrupt(f"section {name}: unknown compression")
-            dtype = np.dtype(e["dtype"])
-            shape = tuple(int(s) for s in e["shape"])
-            expect = int(np.prod(shape, dtype=np.int64)) * dtype.itemsize if shape else dtype.itemsize
-            if any(s < 0 for s in shape) or expect != nbytes:
-                raise ErrCorrupt(f"section {name} shape/nbytes mismatch")
-            arr = np.frombuffer(raw, dtype=dtype).reshape(shape)
-            sections[name] = arr.copy() if copy else arr
+            sections[name] = _decode_section(e, raw, verify_checksum, copy)
         except ErrCorrupt:
             raise
         except Exception as ex:
