@@ -128,3 +128,52 @@ def test_compaction_to_vamana_preserves_payloads_metadata():
     assert c.payload == b"pl-123"
     res = eng.search(x[77], k=1, ef=64)
     assert res[0].id == ids[77] and res[0].payload == b"pl-77"
+
+
+def test_subprocess_compact_worker(tmp_path):
+    """Writer/reader separation: `python -m vecgo_tpu.tools.compact` merges
+    segments in a SEPARATE process over a shared Local store; the serving
+    process reopens the new version (reference: vecgo.go:151-179 writer +
+    stateless read replicas). On TPU this is also the production containment
+    for the jax executable-reuse dispatch bug (utils/devbug.py)."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    from vecgo_tpu.blobstore import LocalStore
+
+    d = str(tmp_path / "db")
+    eng = Engine.open(
+        LocalStore(d),
+        EngineOptions(
+            dim=D, flush_threshold=10**9, graph_threshold=500,
+            graph_r=12, graph_l_build=24,
+        ),
+        create=True,
+    )
+    x = tu.gaussian_vectors(700, D, seed=211)
+    ids = eng.insert_batch(x[:400], [{"i": i} for i in range(400)])
+    eng.commit()
+    ids += eng.insert_batch(x[400:], [{"i": 400 + i} for i in range(300)])
+    eng.commit()
+    assert len(eng._segments) == 2
+    eng.close()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "vecgo_tpu.tools.compact", d, "--all",
+         "--graph-threshold", "500", "--graph-r", "12",
+         "--graph-l-build", "24"],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["rows"] == 700 and out["segment"] == "VamanaSegment"
+
+    eng2 = Engine.open(LocalStore(d), EngineOptions())
+    assert len(eng2._segments) == 1
+    assert isinstance(eng2._segments[0].segment, VamanaSegment)
+    res = eng2.search(x[55], k=1, ef=64)
+    assert res[0].id == ids[55] and res[0].metadata == {"i": 55}
+    eng2.close()

@@ -233,7 +233,7 @@ def _plan_snapshot(snap, opts, options, device_budget) -> _Plan:
     return plan
 
 
-def _dispatch_chunk(plan: _Plan, qd, opts, options):
+def _dispatch_chunk(plan: _Plan, qd, opts, options, exact_k: int = 0):
     """Score + rerank one query chunk against every planned source.
 
     Pure device dispatch — no host sync. Returns (reranked, counters) where
@@ -246,6 +246,13 @@ def _dispatch_chunk(plan: _Plan, qd, opts, options):
     b = qd.shape[0]
     k = opts.k
     fetch_k = max(k * max(opts.refine_factor, 1), k)
+    # Exact-distance sources (memtable brute force, unquantized flat) return
+    # FINAL distances — their per-source top-k union already contains the
+    # global top-k, so the refine_factor pool buys nothing and the scan's
+    # per-block approx_min_k selection cost scales ~linearly with pool width
+    # (measured on-chip: k=20 costs 1.8x k=10 at 1M x 128d). exact_k = k plus
+    # the churn margin (every dirty id can displace one merge-window row).
+    exact_k = max(exact_k or fetch_k, k)
     metric = options.metric
     reranked = []
     dist_comps = 0
@@ -255,9 +262,12 @@ def _dispatch_chunk(plan: _Plan, qd, opts, options):
         kk = min(fetch_k, src.n)
         stream_rerank = False  # SQ8-streamed results need the exact host rerank
         if src.kind == "mem":
+            kk = min(exact_k, src.n)
             d, rows = src.source.search(qd, kk, src.n, src.mask)
             dist_comps += b * src.rows_considered
         elif src.kind == "flat":
+            if src.source.quant.kind == "none":
+                kk = min(exact_k, src.n)
             d, rows = src.source.search(
                 qd, kk, mask=src.mask, nprobes=opts.nprobes,
                 scan_dtype=getattr(options, "flat_scan_dtype", "bf16"),
@@ -684,7 +694,9 @@ def _dispatch_batch(
     n_chunks = (b + CHUNK_B - 1) // CHUNK_B if b > CHUNK_B else 1
     for ci in range(n_chunks):
         qc = qd[ci * CHUNK_B : (ci + 1) * CHUNK_B] if n_chunks > 1 else qd
-        reranked, dc, nv = _dispatch_chunk(plan, qc, opts, options)
+        reranked, dc, nv = _dispatch_chunk(
+            plan, qc, opts, options, exact_k=k + vis_margin
+        )
         dist_comps += dc
         nodes_visited += nv
         if coded:
