@@ -313,6 +313,15 @@ class FlatSegment(common.RowBlobAccess):
             # [B, C, d] candidate tile). Round-2 kept an f32 full copy in
             # HBM, nullifying the compression (VERDICT r2 missing #1).
             dev = {k: jnp.asarray(v) for k, v in self.enc_host.items()}
+            if self.quant.kind == "none" and "vectors" in dev:
+                # Stored bf16 scan table (cast ONCE on device — no extra
+                # H2D): the default bf16 scan is HBM-read-bound at corpus
+                # scale, and reading a cast-on-the-fly f32 table moves 2x
+                # the bytes of a real bf16 copy per pass. +50% HBM for the
+                # segment (f32 stays for the exact pool rerank); measured
+                # 1M x 128: raw stored-bf16 scan 13.3 ms/4096 vs 26 ms
+                # through the f32-read path (bench flat_bf16 vs flat_rr leg).
+                dev["vectors16"] = dev["vectors"].astype(jnp.bfloat16)
             if self.ivf_part is not None:
                 dev["__ivf_part"] = jnp.asarray(self.ivf_part)
             self._dev = dev
@@ -326,6 +335,9 @@ class FlatSegment(common.RowBlobAccess):
     def device_bytes(self) -> int:
         """HBM footprint of device_state() (for DeviceBudget admission)."""
         total = sum(a.nbytes for a in self.enc_host.values())
+        if self.quant.kind == "none" and "vectors" in self.enc_host:
+            # device_state adds a stored bf16 scan copy (half the f32 bytes).
+            total += self.enc_host["vectors"].nbytes // 2
         if self.ivf_part is not None:
             total += self.ivf_part.nbytes
         return int(total)
@@ -373,8 +385,8 @@ class FlatSegment(common.RowBlobAccess):
                     from vecgo_tpu.ops import distance as D
 
                     scores = D.pairwise_scores(
-                        q, enc_blk["vectors"], metric,
-                        x_norms_sq=enc_blk.get("rnorm2"),
+                        q, enc_blk.get("vectors16", enc_blk["vectors"]),
+                        metric, x_norms_sq=enc_blk.get("rnorm2"),
                         x_normalized=False, compute_dtype=jnp.bfloat16,
                     )
                 else:
