@@ -239,7 +239,9 @@ def phase_ingest(results, curve, extras):
     """Deferred-style bulk ingest (reference: BatchInsertDeferred ~2M vec/s,
     doc.go:33-35). Host-only path in a FRESH process (host rates here are
     wildly process-state-dependent on the 1-core dev VM)."""
-    x = np.asarray(_load("x"))  # materialize (mmap would lazy-fault mid-timing)
+    # mmap=False: np.asarray on a memmap is a no-op (memmap IS an ndarray),
+    # so an mmap'd load would lazy-fault disk reads inside the timed loop.
+    x = _load("x", mmap=False)
     from vecgo_tpu.blobstore import MemoryStore
     from vecgo_tpu.engine import Engine, EngineOptions
 
@@ -401,7 +403,15 @@ def phase_engine(results, curve, extras):
         t0 = time.perf_counter()
         stream_all()
         dt_s = time.perf_counter() - t0
-        extras["engine_stream_qps"] = round(n_stream * BATCH / dt_s, 1)
+        qps_s = n_stream * BATCH / dt_s
+        extras["engine_stream_qps"] = round(qps_s, 1)
+        # Stream results are bit-identical to the sync path (pinned by
+        # test_search_arrays_stream_matches_sync), so rec_e applies.
+        results["engine_flat_stream"] = (qps_s, rec_e)
+        curve.append({
+            "path": "engine_flat_stream", "qps": round(qps_s, 1),
+            "recall": round(rec_e, 4),
+        })
     except Exception as e:  # noqa: BLE001
         log(f"engine stream failed: {e!r}")
         extras["engine_stream_error"] = repr(e)
@@ -518,6 +528,34 @@ def phase_engine_graph(results, curve, extras):
     except Exception as e:  # noqa: BLE001
         log(f"engine_graph latency failed: {e!r}")
         extras["engine_graph_latency_error"] = repr(e)
+    try:
+        # Pipelined serving (the production mode): per-call RTT hides under
+        # the next batch's compute; recall equals the sync fast profile.
+        n_stream = 8
+        fast_kw = dict(ef=48, nprobes=4, graph_refine=0, graph_rescore=False)
+
+        def stream_all():
+            for _ in eng.search_arrays_stream(
+                iter([qb] * n_stream), k=K, depth=3, **fast_kw
+            ):
+                pass
+
+        stream_all()  # warm
+        t0 = time.perf_counter()
+        stream_all()
+        dt_s = time.perf_counter() - t0
+        qps_s = n_stream * BATCH / dt_s
+        rec_fast = extras.get("engine_graph_recall")
+        extras["engine_graph_stream_qps"] = round(qps_s, 1)
+        if rec_fast is not None:
+            results["engine_graph_stream"] = (qps_s, rec_fast)
+            curve.append({
+                "path": "engine_graph_stream", "qps": round(qps_s, 1),
+                "recall": rec_fast, **fast_kw,
+            })
+    except Exception as e:  # noqa: BLE001
+        log(f"engine_graph stream failed: {e!r}")
+        extras["engine_graph_stream_error"] = repr(e)
     eng.close()
 
 

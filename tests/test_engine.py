@@ -544,11 +544,14 @@ def test_explicit_id_bulk_ingest():
     assert res.candidates[0].id == 1199
 
 
-def test_search_arrays_matches_search_batch():
+def test_search_arrays_matches_search_batch(monkeypatch):
     """search_arrays (pipelined bulk path) returns the same ids as
-    search_batch, including across the chunked (>CHUNK_B) route."""
+    search_batch, including across the chunked (>CHUNK_B) route. CHUNK_B is
+    pinned small so the chunked route is exercised without a 2x4096-query
+    batch (the production default sizes chunks for TPU HBM amortization)."""
     from vecgo_tpu.engine import search as search_mod
 
+    monkeypatch.setattr(search_mod, "CHUNK_B", 1024)
     eng = new_engine()
     x = tu.gaussian_vectors(3000, D, seed=81)
     eng.insert_batch(x)
