@@ -30,7 +30,7 @@ from vecgo_tpu.errors import (
 )
 from vecgo_tpu.engine import search as search_mod
 from vecgo_tpu.engine.manifest import Manifest, ManifestStore, SegmentInfo
-from vecgo_tpu.engine.memtable import MemTable
+from vecgo_tpu.engine.memtable import MemTable, copy_validate
 from vecgo_tpu.engine.pk import DELETED, MEMTABLE_SEG, PKIndex
 from vecgo_tpu.engine.snapshot import SegmentHandle, Snapshot, SnapshotTracker
 from vecgo_tpu.engine.tombstone import SegmentTombstones, TombstoneSet
@@ -418,11 +418,21 @@ class Engine:
             if not np.isin(vectors, (0.0, 1.0)).all():
                 raise ErrInvalidVector("hamming metric requires 0/1 vectors")
         if bulk:
-            # Reduction scan: np.isfinite(x).all() materializes a full-size
-            # bool array whose first-touch page faults dominate at slab
-            # scale (utils/hostmem module doc).
-            if not all_finite(vectors):
-                raise ErrInvalidVector("batch contains NaN/Inf")
+            if self.options.metric == Metric.COSINE:
+                # Cosine normalization inside insert_block materializes the
+                # slab itself; validate with the allocation-free reduction
+                # scan (np.isfinite(x).all() would materialize a full-size
+                # bool array — utils/hostmem module doc).
+                if not all_finite(vectors):
+                    raise ErrInvalidVector("batch contains NaN/Inf")
+                precopied = False
+            else:
+                # Fused copy+validate: the defensive slab copy and the
+                # finiteness check share one pass (validation reads each
+                # chunk cache-hot right after it is written). Done OUTSIDE
+                # the engine lock — the copy is the bulk path's biggest cost.
+                vectors = copy_validate(vectors)
+                precopied = True
             self._mem_controller.acquire(n * row_bytes)
             new_ids = None
             with self._lock:
@@ -450,7 +460,7 @@ class Engine:
                     self._lsn += n
                     row0 = self.memtable.insert_block(
                         vectors, id0, lsn0, metadatas, payloads,
-                        ids=new_ids,
+                        ids=new_ids, precopied=precopied,
                     )
                     self.pk.upsert_block(
                         new_ids,

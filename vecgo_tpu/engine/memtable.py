@@ -73,6 +73,57 @@ def _fast_copy(x: np.ndarray) -> np.ndarray:
     return out
 
 
+def _copy_validate_range(x, out, a: int, b: int, rows_per: int) -> bool:
+    """Copy rows [a, b) and min/max-validate each chunk while it is still
+    cache-hot; returns False on any NaN/Inf."""
+    ok = True
+    for i in range(a, b, rows_per):
+        j = min(b, i + rows_per)
+        np.copyto(out[i:j], x[i:j])
+        c = out[i:j]
+        lo, hi = c.min(), c.max()
+        # NaN fails both comparisons; +/-Inf fails one (min/max propagate
+        # NaN and saturate at the infinities — see hostmem.all_finite).
+        if not (lo > -np.inf and hi < np.inf and lo == lo):
+            ok = False
+    return ok
+
+
+def copy_validate(x: np.ndarray) -> np.ndarray:
+    """_fast_copy with finiteness validation fused into the copy.
+
+    all_finite as a separate pass re-reads the whole batch from RAM (measured
+    ~100 ms of a 320 ms bulk insert at 1M x 128); here each ~2 MB chunk is
+    validated right after it is written, while it still lives in cache, so
+    validation adds ~zero RAM traffic. Raises ErrInvalidVector on NaN/Inf."""
+    global _COPY_POOL
+    x = np.ascontiguousarray(x, np.float32)
+    n = x.shape[0]
+    out = huge_empty_like(x) if n >= 65536 else np.empty_like(x)
+    if n == 0:
+        return out
+    rows_per = max(1, (4 << 20) // max(1, x.shape[1] * 4))
+    if _COPY_THREADS == 1 or n < 65536:
+        ok = _copy_validate_range(x, out, 0, n, rows_per)
+    else:
+        if _COPY_POOL is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            _COPY_POOL = ThreadPoolExecutor(_COPY_THREADS)
+        step = (n + _COPY_THREADS - 1) // _COPY_THREADS
+        ok = all(
+            _COPY_POOL.map(
+                lambda i: _copy_validate_range(
+                    x, out, i * step, min(n, (i + 1) * step), rows_per
+                ),
+                range(_COPY_THREADS),
+            )
+        )
+    if not ok:
+        raise ErrInvalidVector("batch contains NaN/Inf")
+    return out
+
+
 class MemTable:
     def __init__(self, dim: int, metric: Metric):
         self.dim = dim
@@ -237,6 +288,7 @@ class MemTable:
         metadatas=None,
         payloads=None,
         ids: Optional[np.ndarray] = None,  # explicit ids (else id0 + arange)
+        precopied: bool = False,  # caller already owns `vectors` (copy_validate)
     ) -> int:
         """Bulk append with consecutive LSNs; returns the first row index.
 
@@ -249,7 +301,7 @@ class MemTable:
             vectors = vectors / np.maximum(
                 np.linalg.norm(vectors, axis=1, keepdims=True), 1e-30
             )
-        else:
+        elif not precopied:
             # One defensive copy (caller may mutate its buffer); becomes the
             # slab as-is — no doubling-regrowth, no second touch.
             vectors = _fast_copy(vectors)
