@@ -74,8 +74,20 @@ def _fast_copy(x: np.ndarray) -> np.ndarray:
 
 
 def _copy_validate_range(x, out, a: int, b: int, rows_per: int) -> bool:
-    """Copy rows [a, b) and min/max-validate each chunk while it is still
-    cache-hot; returns False on any NaN/Inf."""
+    """Copy rows [a, b) and finiteness-validate in the same pass; returns
+    False on any NaN/Inf.
+
+    Fast path: the native fused kernel (utils/hostops.cpp) — an integer
+    exponent-bit test folded into the copy loop, so validation is free at
+    memcpy speed and the GIL is released for the whole range. Fallback:
+    chunked numpy copyto + min/max while the chunk is still cache-hot."""
+    try:
+        from vecgo_tpu.utils import hostops
+
+        if hostops.available():
+            return hostops.copy_validate_range(x, out, a, b)
+    except Exception:  # noqa: BLE001 — native layer is strictly optional
+        pass
     ok = True
     for i in range(a, b, rows_per):
         j = min(b, i + rows_per)

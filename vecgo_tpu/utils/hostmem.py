@@ -170,13 +170,27 @@ def huge_arange(start: int, n: int, dtype=np.int64) -> np.ndarray:
 def all_finite(x: np.ndarray) -> bool:
     """np.isfinite(x).all() without materializing a full-size bool array.
 
-    min/max reductions propagate NaN and saturate at +/-Inf, so two
+    Fast path for contiguous f32: the native exponent-bit scan
+    (utils/hostops.cpp, one integer read pass, GIL released). Fallback:
+    min/max reductions, which propagate NaN and saturate at +/-Inf, so two
     allocation-free passes decide finiteness exactly: NaN poisons both
     reductions, +Inf surfaces in max, -Inf in min. Measured ~4x the chunked
     isfinite scan (reductions run at raw read bandwidth; the ufunc+bool
     path writes one byte per element)."""
     if x.size == 0:
         return True
+    if (
+        x.dtype == np.float32
+        and x.ndim == 2
+        and x.flags["C_CONTIGUOUS"]
+    ):
+        try:
+            from vecgo_tpu.utils import hostops
+
+            if hostops.available():
+                return hostops.validate_range(x, 0, x.shape[0])
+        except Exception:  # noqa: BLE001 — native layer is strictly optional
+            pass
     lo = np.min(x)
     hi = np.max(x)
     return bool(np.isfinite(lo)) and bool(np.isfinite(hi))
