@@ -715,9 +715,16 @@ def phase_vamana(results, curve, extras):
         screened.append((ef, n_probe, refine, qf, rec))
         if rec >= 0.95:
             n_pass += 1
-        if n_pass >= 5:
+        # Stop only once the screen has BOTH enough cheap passers and a
+        # high-recall point — the published curve must show what recall
+        # costs on the graph path, not five copies of one operating point.
+        if n_pass >= 5 and max(s[4] for s in screened) >= 0.97:
             break
-    to_time = [s for s in screened if s[4] >= 0.95][:5]
+    passers = [s for s in screened if s[4] >= 0.95]
+    to_time = passers[:5]
+    hi = max(passers, key=lambda s: s[4], default=None)
+    if hi is not None and hi not in to_time:
+        to_time.append(hi)
     below = [s for s in screened if s[4] < 0.95]
     if below:
         to_time.append(max(below, key=lambda s: s[4]))
