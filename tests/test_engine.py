@@ -340,7 +340,11 @@ def test_commit_ivf_reorder_pk_mapping():
     """Regression (round-1 advisor, high): commit() assumed FlatWriter
     preserves add order, but IVF partitioning permutes rows — PK then pointed
     at the wrong rows (silent data corruption on get/delete)."""
-    eng = new_engine(ivf_rows_per_partition=64, flush_threshold=10_000_000)
+    eng = new_engine(
+        ivf_rows_per_partition=64,
+        flush_ivf_partitions=True,  # partition-at-flush is opt-in since r4
+        flush_threshold=10_000_000,
+    )
     n = 256  # >= 2*64 triggers IVF reorder with 4 partitions
     x, _ = tu.clustered_vectors(n, D, n_clusters=4, seed=51)
     mds = [{"i": i} for i in range(n)]
@@ -361,6 +365,30 @@ def test_commit_ivf_reorder_pk_mapping():
     eng.insert_batch(upd[None, :], [{"u": 1}], ids=[ids[42]])
     c = eng.get(ids[42])
     np.testing.assert_allclose(c.vector, upd, rtol=1e-6)
+
+
+def test_flush_skips_ivf_kmeans_by_default():
+    """Flush-time k-means was 154 s of a 180 s 1M commit (probe_flush_phases)
+    while the TPU serving default ignores flat partitions (exact MXU sweep
+    beats partitioned probing, docs/PERF.md) — so flush skips it by default;
+    compaction still partitions. nprobes on a partition-less segment must
+    silently run exact."""
+    eng = new_engine(ivf_rows_per_partition=64, flush_threshold=10_000_000)
+    x, _ = tu.clustered_vectors(256, D, n_clusters=4, seed=53)
+    ids = eng.insert_batch(x)
+    eng.commit()
+    seg = eng._segments[0].segment
+    assert seg.ivf_part is None  # no flush-time k-means
+    # nprobes through the engine falls back to the exact scan.
+    res = eng.search(x[7], k=3, nprobes=4)
+    assert res[0].id == ids[7]
+    # Compaction output IS partitioned (the long-lived tier keeps the rule).
+    eng.insert_batch(x * 0.5 + 4.0)
+    eng.commit()
+    out = eng.compact([h.seg_id for h in eng._segments])
+    assert out is not None
+    assert eng._segments[-1].segment.ivf_part is not None
+    eng.close()
 
 
 def test_recovery_update_without_close():

@@ -58,6 +58,15 @@ class EngineOptions:
     graph_build_mode: str = "clustered"  # "clustered" (fast) | "beam"
     graph_build_params: Dict[str, Any] = dc_field(default_factory=dict)  # build_fast knobs (cluster_size, overlap, ...)
     ivf_rows_per_partition: int = 8192  # flat IVF rule (reference: rows/8192)
+    # Train flat-IVF partitions at FLUSH time. The reference's flat writer
+    # k-means-partitions every flush (flat/writer.go:101-147) because its
+    # CPU scan wins by skipping partitions; on TPU the exact MXU sweep beats
+    # partitioned probing at segment scale (docs/PERF.md: the nprobes flat
+    # profile measures SLOWER than exact — the probe mask adds VPU work
+    # without skipping blocks), so the flush-time k-means was pure commit
+    # latency: 154 s of a 180 s 1M commit (probe_flush_phases). Default off;
+    # compaction still partitions its (long-lived) outputs.
+    flush_ivf_partitions: bool = False
     compaction_threshold: int = 4  # size-tiered trigger (reference default 4)
     compaction_policy: Any = None  # engine.policy.CompactionPolicy; None = size-tiered
     auto_flush: bool = True
@@ -826,7 +835,8 @@ class Engine:
                     qparams=self.options.qparams,
                     ivf_partitions=(
                         n // self.options.ivf_rows_per_partition
-                        if n >= 2 * self.options.ivf_rows_per_partition
+                        if self.options.flush_ivf_partitions
+                        and n >= 2 * self.options.ivf_rows_per_partition
                         else 0
                     ),
                     seed=self.options.seed,
