@@ -140,6 +140,44 @@ def _rerank_coded_jit():
 
 
 @functools.lru_cache(maxsize=1)
+def _rerank_refined_jit():
+    """Pool rescore against the int16 REFINEMENT plane (mirrors
+    VamanaSegment.rerank refined): one direct row-indexed 2 B/dim gather,
+    decode error ~scale/516 — recall recovers the pool bound
+    (scripts/probe_coded_recall2.py: 0.999 vs the int8 plateau 0.977)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vecgo_tpu.ops.ivf import RSCALE_RATIO
+
+    @functools.partial(jax.jit, static_argnames=("s",))
+    def _rrq16(q, rows, rcodes, scale, slot_of_row, cents, *, s):
+        b, c = rows.shape
+        safe = jnp.maximum(rows, 0)
+        cl = jnp.take(slot_of_row, safe) // s
+        cv = jnp.take(rcodes, safe.reshape(-1), axis=0).reshape(
+            b, c, -1
+        ).astype(jnp.float32)
+        rs = jnp.take(scale, cl) * RSCALE_RATIO
+        xhat = (
+            jnp.take(cents, cl.reshape(-1), axis=0).reshape(b, c, -1)
+            + cv * rs[:, :, None]
+        )
+        qf = q.astype(jnp.float32)
+        prod = jnp.einsum(
+            "bcd,bd->bc", xhat, qf, precision=jax.lax.Precision.HIGHEST
+        )
+        dd = (
+            jnp.sum(qf * qf, -1, keepdims=True)
+            + jnp.sum(xhat * xhat, -1)
+            - 2.0 * prod
+        )
+        return jnp.where(rows >= 0, jnp.maximum(dd, 0.0), jnp.inf)
+
+    return _rrq16
+
+
+@functools.lru_cache(maxsize=1)
 def _rerank_jit():
     """Exact f32-HIGHEST rerank of a row pool. The corpus (xd) and its norms
     (rnorm2) are ARGUMENTS, not closure captures — see the JIT RULE above."""
@@ -493,6 +531,11 @@ def phase_engine_graph(results, curve, extras):
         ("engine_graph_qcap", dict(ef=48, nprobes=4, graph_refine=0,
                                    graph_rescore=False,
                                    graph_qcap_factor=1.25)),
+        # int16-plane pool rescore, no beam step: the high-recall engine
+        # profile (serve_refine tables rank the ef-pool at effectively-exact
+        # precision before the k-cut).
+        ("engine_graph_rescore", dict(ef=48, nprobes=8, graph_refine=0,
+                                      graph_rescore=True)),
         ("engine_graph_refine", dict(ef=48, nprobes=4)),
     ):
         try:
@@ -641,16 +684,19 @@ def phase_vamana(results, curve, extras):
         gt_v = np.asarray(gt_v)
     recall_v = _recall_fn(gt_v)
 
-    # ---- serving table: SQ8 residual codes + graph are the ONLY HBM data
-    # (derives from the build's own membership; no second k-means).
+    # ---- serving table: SQ8 residual codes (+ int16 refinement plane for
+    # pool rescoring) + graph are the ONLY HBM data (derives from the
+    # build's own membership; no second k-means). refine=xvd (f32): the
+    # int16 plane must encode from the f32 source or bf16 value error caps
+    # the rescore (scripts/probe_coded_recall2.py).
     t0 = time.perf_counter()
-    table = ivf_ops.device_table_coded(members, xv_dev[:n_vam])
+    table = ivf_ops.device_table_coded(members, xv_dev[:n_vam], refine=xvd)
     jax.block_until_ready(table.codes)
     _ = np.asarray(table.codes[:1, :1, :1])
     extras["ivf_table_cold_s"] = round(time.perf_counter() - t0, 1)
     del table
     t0 = time.perf_counter()
-    table = ivf_ops.device_table_coded(members, xv_dev[:n_vam])
+    table = ivf_ops.device_table_coded(members, xv_dev[:n_vam], refine=xvd)
     jax.block_until_ready(table.codes)
     _ = np.asarray(table.codes[:1, :1, :1])
     extras["ivf_table_s"] = round(time.perf_counter() - t0, 1)
@@ -660,16 +706,23 @@ def phase_vamana(results, curve, extras):
     )
     kt, st, _d = table.codes.shape
     extras["serve_hbm_bytes_per_row"] = round(
+        (kt * st * (D + 12) + n_vam * (4 + 4 * r + 2 * D) + kt * (4 * D + 8))
+        / n_vam, 1,
+    )
+    extras["serve_hbm_bytes_per_row_norefine"] = round(
         (kt * st * (D + 12) + n_vam * (4 + 4 * r) + kt * (4 * D + 8))
         / n_vam, 1,
     )
     kt_clusters = int(table.bnorm2.shape[0])
 
-    def vam_run(queries, ef, n_probe, refine, qf=0.0, kk=16):
+    def vam_run(queries, ef, n_probe, refine, qf=0.0, kk=16, rescore=0):
         # qf: qcap as a multiple of the average probes/cluster for THIS batch
         # size (0 = ivf_scan's auto 3x). Tighter qcaps trade probe drops
         # (rescued by refinement + the ef-pool rerank) for linear scan-cost
         # savings — the round-2 ablation's dominant knob.
+        # rescore=1: rank the ef-pool against the int16 refinement plane
+        # before the k-cut — recall rises to the pool bound (~0.999 at wide
+        # probes) for one [B, ef] 2 B/dim gather.
         qcap = 0
         if qf:
             b_ = queries.shape[0]
@@ -683,21 +736,29 @@ def phase_vamana(results, curve, extras):
         )
         cd, crows = beam_ops._dedup_topk(sd, srows, ef)
         pool = jnp.where(jnp.isfinite(cd), crows, -1)
-        if not refine:
+        if not refine and not rescore:
             # No-rescore fast path (mirrors VamanaSegment.search): the scan's
             # bf16-residual distances already rank within SQ8 error.
             return cd[:, :K], pool[:, :K]
-        qc = jnp.einsum(
-            "bd,kd->bk", queries.astype(jnp.float32), table.centroids
-        )
-        _, pool = beam_ops.beam_search_coded(
-            queries, table, graph_dev, pool, qc,
-            ef=ef, k=ef, beam_width=4, max_steps=refine,
-        )
-        rd = _rerank_coded_jit()(
-            queries, pool, table.codes, table.scale, table.xnorm2,
-            table.slot_of_row, table.centroids,
-        )
+        if refine:
+            qc = jnp.einsum(
+                "bd,kd->bk", queries.astype(jnp.float32), table.centroids
+            )
+            _, pool = beam_ops.beam_search_coded(
+                queries, table, graph_dev, pool, qc,
+                ef=ef, k=ef, beam_width=4, max_steps=refine,
+            )
+        if rescore and table.rcodes is not None:
+            rd = _rerank_refined_jit()(
+                queries, pool, table.rcodes, table.scale,
+                table.slot_of_row, table.centroids,
+                s=int(table.rows.shape[1]),
+            )
+        else:
+            rd = _rerank_coded_jit()(
+                queries, pool, table.codes, table.scale, table.xnorm2,
+                table.slot_of_row, table.centroids,
+            )
         sd2, si2 = jax.lax.sort((rd, pool.astype(jnp.int32)), num_keys=1)
         return sd2[:, :K], si2[:, :K]
 
@@ -705,81 +766,99 @@ def phase_vamana(results, curve, extras):
     # first passers so the published curve spans the frontier. Phase 2: TIME
     # the passers (plus the best non-passer as a low-recall curve point).
     screened = []
+    # (ef, n_probe, refine, qf, rescore): rescore=1 ranks the ef-pool on the
+    # int16 refinement plane before the k-cut — the recall dial the int8
+    # rescore could not turn (probe_coded_recall2: the pool holds ~0.999 but
+    # the x-hat(int8) cut plateaus ~2 points lower).
     sweep = (
-        (48, 4, 0, 1.25), (48, 4, 0, 1.5), (48, 4, 0, 2.0), (48, 4, 0, 0),
-        (48, 6, 0, 1.5), (48, 4, 1, 1.5), (48, 6, 0, 0), (48, 8, 0, 1.5),
-        (48, 8, 0, 0), (48, 12, 0, 0), (48, 16, 0, 0), (96, 16, 1, 0),
-        (96, 24, 1, 0),
+        (48, 4, 0, 1.25, 0), (48, 4, 0, 2.0, 0), (48, 4, 0, 0, 0),
+        (48, 4, 0, 2.0, 1), (48, 8, 0, 1.5, 1), (48, 8, 0, 0, 1),
+        (48, 16, 0, 0, 1), (96, 16, 0, 0, 1),
+        (48, 6, 0, 1.5, 0), (48, 8, 0, 0, 0), (48, 4, 1, 1.5, 0),
+        (48, 12, 0, 0, 0), (96, 16, 1, 0, 1), (96, 24, 1, 0, 1),
     )
     n_pass = 0
-    for ef, n_probe, refine, qf in sweep:
+    for ef, n_probe, refine, qf, rs in sweep:
         if time.perf_counter() - t_phase > budget_s:
             log("budget reached; stopping vamana screens")
             break
-        log(f"vamana config ef={ef} p={n_probe} r={refine} qf={qf}...")
+        log(f"vamana config ef={ef} p={n_probe} r={refine} qf={qf} rs={rs}...")
         try:
-            _, ids = vam_run(qd, ef, n_probe, refine, qf)
+            _, ids = vam_run(qd, ef, n_probe, refine, qf, rescore=rs)
             rec = recall_v(np.asarray(ids))
         except Exception as e:  # noqa: BLE001
             log(f"  screen failed: {e!r}")
             continue
-        extras[f"vamana_recall@ef{ef}p{n_probe}r{refine}qf{qf}"] = round(rec, 4)
-        screened.append((ef, n_probe, refine, qf, rec))
+        extras[f"vamana_recall@ef{ef}p{n_probe}r{refine}qf{qf}rs{rs}"] = (
+            round(rec, 4)
+        )
+        screened.append((ef, n_probe, refine, qf, rs, rec))
         if rec >= 0.95:
             n_pass += 1
         # Stop only once the screen has BOTH enough cheap passers and a
         # high-recall point — the published curve must show what recall
         # costs on the graph path, not five copies of one operating point.
-        if n_pass >= 5 and max(s[4] for s in screened) >= 0.97:
+        if n_pass >= 5 and max(s[5] for s in screened) >= 0.99:
             break
-    passers = [s for s in screened if s[4] >= 0.95]
-    to_time = passers[:5]
-    hi = max(passers, key=lambda s: s[4], default=None)
+    passers = [s for s in screened if s[5] >= 0.95]
+    to_time = passers[:6]
+    hi = max(passers, key=lambda s: s[5], default=None)
     if hi is not None and hi not in to_time:
         to_time.append(hi)
-    below = [s for s in screened if s[4] < 0.95]
+    below = [s for s in screened if s[5] < 0.95]
     if below:
-        to_time.append(max(below, key=lambda s: s[4]))
+        to_time.append(max(below, key=lambda s: s[5]))
     if not to_time and screened:
-        to_time = [max(screened, key=lambda s: s[4])]
+        to_time = [max(screened, key=lambda s: s[5])]
     best = None
-    for ef, n_probe, refine, qf, rec in to_time:
+    for ef, n_probe, refine, qf, rs, rec in to_time:
         if time.perf_counter() - t_phase > budget_s * 1.2:
             log("budget reached; stopping vamana timing")
             break
         try:
-            dt = _timed(lambda: vam_run(qb, ef, n_probe, refine, qf)[1], reps=5)
+            dt = _timed(
+                lambda: vam_run(qb, ef, n_probe, refine, qf, rescore=rs)[1],
+                reps=5,
+            )
         except Exception as e:  # noqa: BLE001
             log(f"  timing failed: {e!r}")
             continue
         qps = BATCH / dt
-        log(f"  timed ef={ef} p={n_probe} r={refine} qf={qf}: {qps:.0f} qps")
-        extras[f"vamana_qps@ef{ef}p{n_probe}r{refine}qf{qf}"] = round(qps, 1)
+        log(
+            f"  timed ef={ef} p={n_probe} r={refine} qf={qf} rs={rs}: "
+            f"{qps:.0f} qps"
+        )
+        extras[f"vamana_qps@ef{ef}p{n_probe}r{refine}qf{qf}rs{rs}"] = (
+            round(qps, 1)
+        )
         curve.append({
             "path": "vamana", "qps": round(qps, 1), "recall": round(rec, 4),
             "ef": ef, "n_probe": n_probe, "refine": refine, "qf": qf,
+            "rescore": rs,
         })
         if rec >= 0.95 and (best is None or qps > best[0]):
-            best = (qps, ef, n_probe, refine, qf, rec)
+            best = (qps, ef, n_probe, refine, qf, rs, rec)
     if best is None and curve:
         vc = [c for c in curve if c["path"] == "vamana"]
         if vc:
             b = max(vc, key=lambda c: c["recall"])
             best = (b["qps"], b["ef"], b["n_probe"], b["refine"], b["qf"],
-                    b["recall"])
+                    b.get("rescore", 0), b["recall"])
     if best is not None:
-        qps, ef, n_probe, refine, qf, rec = best
+        qps, ef, n_probe, refine, qf, rs, rec = best
         extras["vamana_ef"] = ef
         extras["vamana_nprobe"] = n_probe
         extras["vamana_refine"] = refine
         extras["vamana_qcap_factor"] = qf
+        extras["vamana_rescore"] = rs
         results["vamana"] = (qps, rec)
         extras["vamana_qps"] = round(qps, 1)
         extras["vamana_recall"] = round(rec, 4)
         try:
             q1 = qd[:1]
             p50, p95, p99 = _percentiles(
-                lambda: vam_run(q1, ef, n_probe, refine, qf)[1], reps=30
+                lambda: vam_run(q1, ef, n_probe, refine, qf, rescore=rs)[1],
+                reps=30,
             )
             extras["vamana_p50_ms"] = p50
             extras["vamana_p95_ms"] = p95

@@ -92,6 +92,7 @@ class EngineOptions:
     beam_width: int = 4
     flat_scan_dtype: str = "bf16"  # "bf16" (1-pass MXU scan + exact f32 rerank) | "f32" (3-pass HIGH scan)
     serve_compact: bool = False  # coded-table repack: half HBM, ~2x probes
+    serve_refine: bool = True  # int16 pool-rescore plane (+2 B/dim/row HBM): recall to the pool bound
     store_codes: Any = False  # persist ivfq.* codes for cloud serving: False | True/"sq8" | "pq" | "opq"
     selectivity_cutoff: float = 0.30
     lexical: bool = False  # BM25 over insert(text=...)
@@ -233,6 +234,8 @@ class Engine:
                 )
             if hasattr(seg, "serve_compact"):
                 seg.serve_compact = options.serve_compact
+            if hasattr(seg, "serve_refine"):
+                seg.serve_refine = options.serve_refine
             h = SegmentHandle(seg, info)
             eng._segments.append(h)
             if info.tombstone_blob:
@@ -1046,6 +1049,8 @@ class Engine:
         out_seg = open_segment(data, out_seg_id, verify_checksum=False)
         if hasattr(out_seg, "serve_compact"):
             out_seg.serve_compact = self.options.serve_compact
+        if hasattr(out_seg, "serve_refine"):
+            out_seg.serve_refine = self.options.serve_refine
 
         # ---- P3: swap under the lock ----
         with self._lock:

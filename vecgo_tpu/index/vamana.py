@@ -471,6 +471,11 @@ class VamanaSegment(common.RowBlobAccess):
     # repack the coded table to one slot per row at open — half the HBM of
     # the overlap build membership, ~2x the probes for equal recall.
     serve_compact = False
+    # int16 refinement plane for pool rescoring (+2 B/dim/row HBM): the int8
+    # x̂ rescore caps recall ~2 points below the ef-pool's content
+    # (scripts/probe_coded_recall2.py: 0.977 vs 0.999 exact-rr at 200k);
+    # the plane restores the pool bound. EngineOptions.serve_refine.
+    serve_refine = True
 
     def __init__(
         self,
@@ -580,12 +585,24 @@ class VamanaSegment(common.RowBlobAccess):
                 # encode input, freed after device_table_coded returns.
                 from vecgo_tpu.ops import ivf as ivf_ops
 
-                x16 = jnp.asarray(self.vectors, jnp.bfloat16)
-                table = ivf_ops.device_table_coded(
-                    self.ivf_members, x16, compact=self.serve_compact
-                )
-                table.codes.block_until_ready()
-                del x16
+                if self.serve_refine:
+                    # f32 transient upload: feeds both the int8 encode and
+                    # the int16 refinement plane (a bf16 source would bake
+                    # bf16 value error into the refined decode).
+                    xf = jnp.asarray(self.vectors, jnp.float32)
+                    table = ivf_ops.device_table_coded(
+                        self.ivf_members, xf, compact=self.serve_compact,
+                        refine=xf,
+                    )
+                    table.codes.block_until_ready()
+                    del xf
+                else:
+                    x16 = jnp.asarray(self.vectors, jnp.bfloat16)
+                    table = ivf_ops.device_table_coded(
+                        self.ivf_members, x16, compact=self.serve_compact
+                    )
+                    table.codes.block_until_ready()
+                    del x16
                 self._dev = {
                     "graph": jnp.asarray(self.graph),
                     "entry": jnp.asarray([self.medoid], jnp.int32),
@@ -608,6 +625,9 @@ class VamanaSegment(common.RowBlobAccess):
 
     def release_device(self):
         self._dev = None
+        # A rebuild may flip the table variant (serve_refine/serve_compact);
+        # the cached rerank jit is variant-specific.
+        self._rerank_fn = None
 
     def device_bytes(self) -> int:
         """HBM footprint of device_state() (for DeviceBudget admission)."""
@@ -615,10 +635,13 @@ class VamanaSegment(common.RowBlobAccess):
         if self.ivf_members is not None:
             k, s = self.ivf_members.shape
             # codes + norms/rows + slot map + centroids + graph
-            return int(
+            total = int(
                 k * s * (d + 4 + 4 + 4) + n * 4 + k * (d * 4 + 8)
                 + self.graph.nbytes
             )
+            if self.serve_refine:
+                total += n * d * 2  # int16 refinement plane
+            return total
         total = n * d * 2 + n * 4 + self.graph.nbytes + n * d * 4
         if self.entry_centroids is not None:
             total += self.entry_centroids.nbytes + self.entry_nodes.nbytes
@@ -1009,6 +1032,58 @@ class VamanaSegment(common.RowBlobAccess):
         import jax.numpy as jnp
 
         dev = self.device_state()
+        if "ivfq" in dev and dev["ivfq"].rcodes is not None:
+            # Refinement plane: decode at int16 precision (one [B, C] gather
+            # of 2 B/dim rows, direct row index — no slot indirection for the
+            # codes). Ranking error = scale/516 per coordinate, far below the
+            # pool's tie gaps: the rescore recovers the exact-rerank recall
+            # (probe_coded_recall2: 0.999 vs the int8 plateau 0.977).
+            if self._rerank_fn is None:
+                metric = self.metric.compute()
+                from vecgo_tpu.ops.ivf import RSCALE_RATIO
+
+                def _rrq16(q, rows, rcodes, scale, slot_of_row, cents, *, s):
+                    b, c = rows.shape
+                    safe = jnp.maximum(rows, 0)
+                    cl = jnp.take(slot_of_row, safe) // s  # [B, C]
+                    cv = jnp.take(rcodes, safe.reshape(-1), axis=0).reshape(
+                        b, c, -1
+                    ).astype(jnp.float32)
+                    rs = jnp.take(scale, cl) * RSCALE_RATIO
+                    xhat = (
+                        jnp.take(cents, cl.reshape(-1), axis=0).reshape(
+                            b, c, -1
+                        )
+                        + cv * rs[:, :, None]
+                    )
+                    qf = q.astype(jnp.float32)
+                    if metric == Metric.COSINE:
+                        from vecgo_tpu.ops import distance as D
+
+                        qf = D.normalize(qf)
+                    prod = jnp.einsum(
+                        "bcd,bd->bc", xhat, qf,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    if metric == Metric.L2:
+                        dd = jnp.maximum(
+                            jnp.sum(qf * qf, -1, keepdims=True)
+                            + jnp.sum(xhat * xhat, -1)
+                            - 2.0 * prod,
+                            0.0,
+                        )
+                    elif metric == Metric.DOT:
+                        dd = -prod
+                    else:
+                        dd = 1.0 - prod
+                    return jnp.where(rows >= 0, dd, jnp.inf)
+
+                self._rerank_fn = jax.jit(_rrq16, static_argnames=("s",))
+            t = dev["ivfq"]
+            return self._rerank_fn(
+                q, rows, t.rcodes, t.scale, t.slot_of_row, t.centroids,
+                s=int(t.rows.shape[1]),
+            )
         if "ivfq" in dev:
             if self._rerank_fn is None:
                 metric = self.metric.compute()

@@ -91,6 +91,19 @@ class IVFCodedTable(NamedTuple):
     slot_of_row: jax.Array  # [N] int32 a slot containing each row
     centroids: jax.Array  # [K, d] f32 (member means)
     cnorm2: jax.Array  # [K] f32, +inf for empty/padded clusters
+    # Optional REFINEMENT PLANE (+2 B/dim/row): per-ROW int16 residual codes
+    # at step scale*127/32767 (254x finer than the scan's int8), encoded from
+    # the f32 source. The probed decomposition (scripts/probe_coded_recall2)
+    # showed the int8 x̂ rescore caps recall ~2 points below what the ef-pool
+    # contains (0.977 vs 0.999 at 200k) — rescoring the pool against the
+    # int16 decode recovers the pool bound without f32 rows in HBM.
+    rcodes: Optional[jax.Array] = None  # [N, d] int16, None = no plane
+
+
+# int16 refinement step as a multiple of the int8 scale: the int8 plane
+# spans max|res| = 127*scale; the int16 plane re-encodes the same residual
+# range at 32767 steps -> rscale = scale * (127/32767).
+RSCALE_RATIO = 127.0 / 32767.0
 
 
 # ---------------------------------------------------------------------------
@@ -335,6 +348,31 @@ def _coded_build(mdev, x16, *, group: int):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("s", "block"))
+def _refine_codes(xf, slot_of_row, cents, scale, *, s: int, block: int):
+    """Per-row int16 residual codes vs the row's OWN (slot_of_row) cluster
+    centroid — the refinement plane for pool rescoring. Blockwise lax.map
+    bounds the f32 transient at [block, d]."""
+    n, d = xf.shape
+    n_pad = ((n + block - 1) // block) * block
+    xp = jnp.pad(xf, ((0, n_pad - n), (0, 0)))
+    sp = jnp.pad(slot_of_row, (0, n_pad - n))
+
+    def body(args):
+        xb, sb = args
+        cl = sb // s
+        c = jnp.take(cents, cl, axis=0)
+        rs = jnp.take(scale, cl) * RSCALE_RATIO
+        q = jnp.round((xb.astype(jnp.float32) - c) / rs[:, None])
+        return jnp.clip(q, -32767, 32767).astype(jnp.int16)
+
+    out = jax.lax.map(
+        body,
+        (xp.reshape(-1, block, d), sp.reshape(-1, block)),
+    )
+    return out.reshape(n_pad, d)[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("group",))
 def _member_res_norms(mdev, x16, *, group: int):
     """Per-slot |x - cluster_mean|² (pass 1 of the compact repack)."""
@@ -414,12 +452,18 @@ def device_table_coded(
     vectors_dev: jax.Array,  # [N, d] float (bf16 fine; encode reads f32)
     group: int = 8,
     compact: bool = False,
+    refine=None,  # optional f32-grade [N, d] source for the int16 plane
 ) -> IVFCodedTable:
     """Materialize the SQ8-residual serving table from a membership table
     (typically the graph build's own partition — build_fast
     build_graph_clustered(return_membership=True)). compact=True first
     repacks to one slot per row (half the memory of an overlap-2 build
-    membership; see compact_members_primary)."""
+    membership; see compact_members_primary).
+
+    refine: when given (device or host [N, d] array, f32 recommended — a
+    bf16 source would bake bf16 value error into the int16 decode), the
+    table carries the per-row int16 refinement plane (`rcodes`) and pool
+    rescoring ranks at effectively-exact precision (+2 B/dim/row HBM)."""
     if compact:
         members = compact_members_primary(members, vectors_dev, group=group)
     k, s = members.shape
@@ -434,7 +478,18 @@ def device_table_coded(
             m[:k] = members
             members = m
     mdev = members if isinstance(members, jax.Array) else jnp.asarray(members)
-    return _coded_build(mdev, vectors_dev, group=group)
+    table = _coded_build(mdev, vectors_dev, group=group)
+    if refine is not None:
+        xf = refine if isinstance(refine, jax.Array) else jnp.asarray(
+            refine, jnp.float32
+        )
+        n = xf.shape[0]
+        rcodes = _refine_codes(
+            xf, table.slot_of_row, table.centroids, table.scale,
+            s=int(table.rows.shape[1]), block=min(131072, max(1024, n)),
+        )
+        table = table._replace(rcodes=rcodes)
+    return table
 
 
 # ---------------------------------------------------------------------------
