@@ -4,9 +4,9 @@ coded graph path's recall plateau?
 BENCH_r04 screening showed vamana recall pinned at ~0.959 across
 p=4..24 / ef=48..96 / refine 0-1 — immune to every knob EXCEPT kk, which the
 auto rule caps at 16 (`kk = max(8, min(16, 2*ef/p))`, index/vamana.py:863).
-At 1M the table holds ~8192 rows/cluster and a query's true top-10 cluster
-into its home cell, so the int8-coded in-cluster top-16 cut is the one stage
-whose losses no downstream rescore/refine can recover. This probe decomposes
+At 1M the table holds ~8192 rows/cluster and a query's true top-10 rows mostly
+fall into its home cell, so the int8-coded in-cluster top-16 cut is the one
+stage whose losses no downstream rescore/refine can recover. This probe decomposes
 recall by kk at bench-faithful geometry (8192-row clusters).
 
 Usage: python scripts/probe_kk_recall.py [N]   (default 100000; reads the
@@ -42,12 +42,23 @@ def main():
     cd = os.path.join(
         os.environ.get("BENCH_CACHE", "/tmp/vecgo_bench_cache"), f"{N}x{D}"
     )
+    cached = None
     if os.path.exists(os.path.join(cd, "ready.json")):
-        log(f"using bench cache {cd}")
         x = np.load(os.path.join(cd, "x.npy"))
         q = np.load(os.path.join(cd, "q.npy"))[:NQ]
         gt = np.load(os.path.join(cd, "gt.npy"))[:NQ]
-    else:
+        # A cache built with different geometry/K would silently skew recall.
+        if (
+            x.shape == (N, D)
+            and q.shape == (NQ, D)
+            and gt.shape[0] == NQ
+            and gt.shape[1] >= K
+        ):
+            cached = True
+            log(f"using bench cache {cd}")
+        else:
+            log(f"bench cache {cd} has mismatched shapes; regenerating")
+    if not cached:
         rng = np.random.default_rng(42)
         centers = rng.standard_normal((1024, D)).astype(np.float32)
         assign = rng.integers(0, 1024, size=N)
@@ -105,12 +116,18 @@ def main():
                 + cv * rs[:, :, None]
             )
             qn = jnp.sum(q * q, axis=1)
+            # HIGHEST precision + 0-clamp: this probe must rank with the EXACT
+            # serving rescore (vecgo_tpu/index/vamana.py _rrq16) — default TPU
+            # f32 matmul precision is reduced and could reorder near-ties.
             dd = (
                 qn[:, None]
                 + jnp.sum(xhat * xhat, axis=-1)
-                - 2.0 * jnp.einsum("bd,bcd->bc", q, xhat)
+                - 2.0 * jnp.einsum(
+                    "bd,bcd->bc", q, xhat,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
             )
-            return jnp.where(rows >= 0, dd, jnp.inf)
+            return jnp.where(rows >= 0, jnp.maximum(dd, 0.0), jnp.inf)
 
         return f
 
@@ -120,39 +137,46 @@ def main():
              range(NQ)]
         ) / K
 
+    def run_config(p, kk, ef, rs):
+        """One full config pass, synced at the end. Returns (ids, pool_np)."""
+        sd, srows = ivf_ops.ivf_scan(qd, table, n_probe=p, kk=kk)
+        cd, crows = beam_ops._dedup_topk(sd, srows, max(ef, K))
+        pool = jnp.where(jnp.isfinite(cd), crows, -1)
+        if rs:
+            rd = _rr16()(
+                qd, pool, table.rcodes, table.scale,
+                table.slot_of_row, table.centroids,
+                s=int(table.rows.shape[1]),
+            )
+            _, si = jax.lax.sort((rd, pool.astype(jnp.int32)), num_keys=1)
+            ids_dev = si[:, :K]
+        else:
+            ids_dev = pool[:, :K]
+        jax.block_until_ready((pool, ids_dev))
+        return np.asarray(ids_dev), np.asarray(pool)
+
     for p in (4, 8):
         for kk in (16, 32, 48):
             for ef in (48, 96):
                 for rs in (0, 1):
                     if rs == 0 and kk > 16:
                         continue
+                    # First pass pays jit compile; the second is steady-state.
+                    # Report both so configs are comparable.
                     t0 = time.perf_counter()
-                    sd, srows = ivf_ops.ivf_scan(
-                        qd, table, n_probe=p, kk=kk
-                    )
-                    cd, crows = beam_ops._dedup_topk(sd, srows, max(ef, K))
-                    pool = jnp.where(jnp.isfinite(cd), crows, -1)
-                    pool_np = np.asarray(pool)
+                    ids, pool_np = run_config(p, kk, ef, rs)
+                    t_cold = time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                    ids, pool_np = run_config(p, kk, ef, rs)
+                    t_warm = time.perf_counter() - t0
                     pcov = np.mean(
                         [np.isin(gt[b], pool_np[b]).mean() for b in range(NQ)]
                     )
-                    if rs:
-                        rd = _rr16()(
-                            qd, pool, table.rcodes, table.scale,
-                            table.slot_of_row, table.centroids,
-                            s=int(table.rows.shape[1]),
-                        )
-                        _, si = jax.lax.sort(
-                            (rd, pool.astype(jnp.int32)), num_keys=1
-                        )
-                        ids = np.asarray(si[:, :K])
-                    else:
-                        ids = pool_np[:, :K]
                     rec = recall_of(ids)
-                    dt = time.perf_counter() - t0
                     log(
                         f"p={p} kk={kk} ef={ef} rs={rs}: pool_cov={pcov:.4f} "
-                        f"recall={rec:.4f} ({dt:.1f}s incl compile)"
+                        f"recall={rec:.4f} (cold {t_cold:.1f}s incl compile, "
+                        f"warm {t_warm:.2f}s)"
                     )
 
 

@@ -276,11 +276,14 @@ def test_counting_observer_wired():
     ids = eng.insert_batch(x)
     eng.delete(ids[0])
     eng.search(x[1], k=2)
+    eng.get(ids[2])
     eng.commit()
+    eng.get(ids[3])  # post-commit: segment-resident point lookup
     assert obs.counters["inserts"] == 20
     assert obs.counters["deletes"] == 1
     assert obs.counters["searches"] == 1
     assert obs.counters["flushes"] == 1
+    assert obs.counters["gets"] == 2  # reference: OnGet (engine/metrics.go)
 
 
 def test_resource_controller_backpressure():

@@ -536,6 +536,10 @@ def test_stats_depth_and_observer_surface():
     assert obs.counters.get("searches", 0) >= 1
     assert obs.timings.get("search_s", 0) > 0  # duration now reported
     assert "memtable_rows" in obs.counters  # on_memtable_status called
+    # The vamana compaction above is an index build (reference: OnBuild,
+    # engine/metrics.go:29).
+    assert obs.counters.get("builds", 0) >= 1
+    assert obs.counters.get("compactions", 0) >= 1
 
 
 def test_structured_logging(caplog):

@@ -564,6 +564,7 @@ class Engine:
         """Point lookup (reference: Get engine.go:1638)."""
         if self._closed:
             raise ErrClosed("engine is closed")
+        obs = self.options.observer
         with self._lock:
             ent = self.pk.get_entry(int(id))
             if ent is None or ent[1] == DELETED:
@@ -571,11 +572,15 @@ class Engine:
             _, seg_id, row = ent
             if seg_id == MEMTABLE_SEG:
                 mem = self.memtable
+                if obs is not None:
+                    obs.on_get(1)
                 return Candidate(
                     id=int(id), distance=0.0, metadata=mem.doc(row),
                     payload=mem.payload(row), vector=mem.vector(row).copy(),
                 )
             seg = self._segment_by_id(seg_id)
+        if obs is not None:
+            obs.on_get(1)
         return Candidate(
             id=int(id), distance=0.0, metadata=seg.doc(row),
             payload=seg.payload(row), vector=seg.vector(row).copy(),
@@ -1043,7 +1048,13 @@ class Engine:
                 # scan) — re-add per row.
                 self._log.warning("compaction: slab merge conflict, per-row fallback")
                 raise
+        t_build = time.time()
         data = writer.finish()
+        obs = self.options.observer
+        if obs is not None and kind == "vamana":
+            # Graph construction is the "index build" the reference's OnBuild
+            # observes (engine/metrics.go:29); flat merges are compaction-only.
+            obs.on_build(writer.row_count, time.time() - t_build)
         blob_name = _seg_blob(out_seg_id)
         self.store.put(blob_name, data)
         out_seg = open_segment(data, out_seg_id, verify_checksum=False)
