@@ -78,7 +78,7 @@ class EngineOptions:
     schema: Optional[Schema] = None
     read_only: bool = False
     verify_checksum: bool = True
-    compress_segments: str = ""  # "" | "deflate" (reference: LZ4/ZSTD blocks)
+    compress_segments: str = ""  # "" | "lz4" | "zstd" | "deflate" (reference: LZ4/ZSTD blocks, diskann/compression.go)
     retention_versions: int = 10
     retention_duration_s: float = 0.0
     orphan_gc_grace_s: float = 3600.0  # min age before open-time orphan GC deletes

@@ -65,12 +65,26 @@ def pack_container(
 
             if not _lz4.available():
                 eff = "deflate"  # degrade gracefully; logged by lz4.py
+        elif eff == "zstd":
+            from vecgo_tpu.storage import zstd as _zstd
+
+            if not _zstd.available():
+                eff = "deflate"  # degrade gracefully; logged by zstd.py
         if eff == "lz4":
             from vecgo_tpu.storage import lz4 as _lz4
 
             stored = _lz4.compress(raw)
             if len(stored) < len(raw):
                 entry["compression"] = "lz4"
+                entry["raw_nbytes"] = len(raw)
+            else:
+                stored = raw
+        elif eff == "zstd":
+            from vecgo_tpu.storage import zstd as _zstd
+
+            stored = _zstd.compress(raw)
+            if len(stored) < len(raw):
+                entry["compression"] = "zstd"
                 entry["raw_nbytes"] = len(raw)
             else:
                 stored = raw
@@ -162,6 +176,14 @@ def _decode_section(e: dict, raw, verify_checksum: bool, copy: bool) -> np.ndarr
             raw = _lz4.decompress(bytes(raw), int(e.get("raw_nbytes", -1)))
         except ValueError as ex:
             raise ErrCorrupt(f"section {name} lz4 decode failed: {ex}")
+        nbytes = len(raw)
+    elif e.get("compression") == "zstd":
+        from vecgo_tpu.storage import zstd as _zstd
+
+        try:
+            raw = _zstd.decompress(bytes(raw), int(e.get("raw_nbytes", -1)))
+        except ValueError as ex:
+            raise ErrCorrupt(f"section {name} zstd decode failed: {ex}")
         nbytes = len(raw)
     elif e.get("compression"):
         raise ErrCorrupt(f"section {name}: unknown compression")
