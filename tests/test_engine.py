@@ -263,6 +263,31 @@ def test_hybrid_search_rrf():
     assert res[0].id == ids[3]
 
 
+def test_hybrid_search_batch_matches_single():
+    """Batched hybrid = per-query hybrid: same ids, same RRF mass (the
+    batched path is one vector batch + one BM25 batch + vectorized fusion)."""
+    eng = new_engine(lexical=True)
+    x = tu.gaussian_vectors(80, D, seed=54)
+    texts = [f"document about topic {i % 7} and filler words {i}" for i in range(80)]
+    texts[3] = "the quick brown fox jumps over the lazy dog"
+    texts[11] = "a quick dog naps"
+    ids = eng.insert_batch(x, texts=texts)
+    eng.delete(ids[5])
+    queries = np.stack([x[3], x[11], x[40]])
+    qtexts = ["quick brown fox", "quick dog", "topic 5 filler"]
+    bids, bsc = eng.hybrid_search_batch(queries, qtexts, k=5)
+    assert bids.shape == (3, 5) and bsc.shape == (3, 5)
+    for bi in range(3):
+        single = eng.hybrid_search(queries[bi], qtexts[bi], k=5)
+        want = [c.id for c in single]
+        got = [int(i) for i in bids[bi] if i >= 0]
+        assert got == want, (bi, got, want)
+        # scores match the single path's RRF mass (it returns -score)
+        for j, c in enumerate(single):
+            assert abs(-c.distance - float(bsc[bi, j])) < 1e-6
+    assert int(bids[0, 0]) == ids[3]
+
+
 def test_auto_flush_and_compaction():
     eng = new_engine(flush_threshold=50, compaction_threshold=2, auto_compact=True)
     x = tu.gaussian_vectors(250, D, seed=53)

@@ -97,6 +97,9 @@ class DB:
     def hybrid_search(self, q, text: str, k: int = 10, **kw):
         return self.engine.hybrid_search(q, text, k, **kw)
 
+    def hybrid_search_batch(self, qs, texts, k: int = 10, **kw):
+        return self.engine.hybrid_search_batch(qs, texts, k, **kw)
+
     def sharded_searcher(self, mesh):
         """Multi-chip searcher over the committed snapshot (parallel plane)."""
         return self.engine.sharded_searcher(mesh)

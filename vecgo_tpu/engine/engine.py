@@ -177,6 +177,9 @@ class Engine:
             if options.hbm_budget_bytes > 0
             else None
         )
+        # (snapshot, filter) -> plan LRU: plans are snapshot-invariant, so
+        # repeated batches skip the O(N) mask/strategy rebuild (search.py).
+        self._plan_cache = search_mod.PlanCache()
         self._lexical = None
         if options.lexical:
             from vecgo_tpu.lexical.bm25 import BM25Index
@@ -657,6 +660,7 @@ class Engine:
                 snap, self.pk, qs, opts, self.options,
                 device_budget=self._device_budget,
                 need_locations=False,  # hot path returns arrays only
+                plan_cache=self._plan_cache,
             )
             obs = self.options.observer
             if obs is not None:
@@ -723,6 +727,7 @@ class Engine:
                     device_budget=self._device_budget,
                     need_locations=False,
                     depth=depth,
+                    plan_cache=self._plan_cache,
                 ):
                     nq += ids.shape[0]
                     yield ids, dists
@@ -761,6 +766,7 @@ class Engine:
             ids, dists, locs, stats = search_mod.search_snapshot(
                 snap, self.pk, qs, opts, self.options,
                 device_budget=self._device_budget,
+                plan_cache=self._plan_cache,
             )
             results = []
             for bi in range(qs.shape[0]):
@@ -807,7 +813,9 @@ class Engine:
             vmap[c.id] = c
         for rank, (id, _) in enumerate(lres):
             scores[id] = scores.get(id, 0.0) + 1.0 / (rrf_k + rank + 1)
-        top = sorted(scores.items(), key=lambda kv: -kv[1])[:k]
+        # Deterministic tie-break (score desc, id asc) — matches the batched
+        # path's vectorized fusion exactly.
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         out = []
         for id, s in top:
             c = vmap.get(id)
@@ -819,6 +827,72 @@ class Engine:
             c.distance = -s  # smaller-is-better convention
             out.append(c)
         return SearchResult(candidates=out)
+
+    def hybrid_search_batch(
+        self, qs, texts, k: int = 10, rrf_k: int = 60, pool: int = 0, **kw
+    ):
+        """Batched hybrid search: ONE batched vector search (search_arrays)
+        + ONE batched BM25 pass + vectorized RRF fusion (VERDICT r4 #6 — the
+        single-query `hybrid_search` is a host loop; this is the serving
+        path). Returns (ids [B, k] int64 with -1 padding, scores [B, k] f32,
+        HIGHER is better — RRF mass, not a distance).
+
+        Reference: HybridSearch engine.go:1538 fuses vector top-2k + lexical
+        top-2k with 1/(rrfK+rank); this computes the identical fusion for a
+        whole query batch in a handful of numpy ops."""
+        if self._lexical is None:
+            raise ValueError("lexical index not enabled (EngineOptions.lexical)")
+        if len(texts) != (qs.shape[0] if hasattr(qs, "shape") else len(qs)):
+            raise ValueError("texts/queries length mismatch")
+        pool = pool or max(2 * k, 20)
+        vids, _ = self.search_arrays(qs, k=pool, **kw)  # [B, pool] int64
+        lres = self._lexical.search_batch(list(texts), pool)
+        b = vids.shape[0]
+        lids = np.full((b, pool), -1, np.int64)
+        for bi, hits in enumerate(lres):
+            for r, (id_, _) in enumerate(hits):
+                lids[bi, r] = id_
+        # f64 rank weights + f64 segment sums: bit-identical RRF mass to the
+        # single-query path (within a row, entries sort stably to vector-
+        # before-lexical, rank ascending — the same accumulation order).
+        rank_w = 1.0 / (rrf_k + np.arange(pool, dtype=np.float64) + 1.0)
+        all_ids = np.concatenate([vids, lids], axis=1)  # [B, 2P]
+        all_sc = np.concatenate(
+            [
+                np.where(vids >= 0, rank_w[None, :], 0.0),
+                np.where(lids >= 0, rank_w[None, :], 0.0),
+            ],
+            axis=1,
+        )
+        # Vectorized dedup-sum per row: sort by id; an id appears at most
+        # ONCE per modality (per-row ids are unique within each list), so a
+        # run of equal ids has length <= 2 and the fused mass is an exact
+        # two-addend f64 sum — bit-identical to the single-query path.
+        order = np.argsort(all_ids, axis=1, kind="stable")
+        sid = np.take_along_axis(all_ids, order, axis=1)
+        ssc = np.take_along_axis(all_sc, order, axis=1)
+        w = sid.shape[1]
+        newseg = np.ones((b, w), bool)
+        newseg[:, 1:] = sid[:, 1:] != sid[:, :-1]
+        endseg = np.ones((b, w), bool)
+        endseg[:, :-1] = newseg[:, 1:]
+        prev = np.zeros_like(ssc)
+        prev[:, 1:] = np.where(~newseg[:, 1:], ssc[:, :-1], 0.0)
+        seg_sum = ssc + prev
+        fused = np.where(endseg & (sid >= 0), seg_sum, -1.0)
+        kk = min(k, w)
+        # Full row sort by (score desc, id asc): w = 2*pool is small, and the
+        # id tie-break matches the single-query path deterministically.
+        top = np.lexsort((sid, -fused), axis=1)[:, :kk]
+        tv = np.take_along_axis(fused, top, axis=1)
+        out_ids = np.full((b, k), -1, np.int64)
+        out_sc = np.zeros((b, k), np.float32)
+        got = tv > 0
+        out_ids[:, :kk] = np.where(
+            got, np.take_along_axis(sid, top, axis=1), -1
+        )
+        out_sc[:, :kk] = np.where(got, tv, 0.0)
+        return out_ids, out_sc
 
     # ==================== durability ====================
 
@@ -886,6 +960,7 @@ class Engine:
                 self._mem_controller.set_used(0)  # memtable drained to disk
             self._version = version
             self._save_manifest()
+            self._plan_cache.clear()  # old-version plans can never hit again
             min_lsn = self._tracker.min_live_lsn(self._lsn)
             self.pk.compact_chains(min_lsn)
             obs = self.options.observer
@@ -1113,15 +1188,32 @@ class Engine:
                 self.pk.remap_bulk(old_seg, out_seg_id, rm)
             self._version += 1
             self._save_manifest()
+            self._plan_cache.clear()  # old-version plans can never hit again
             for h in inputs:
                 h.mark_obsolete()
             obs = self.options.observer
             if obs is not None:
                 obs.on_compaction(len(inputs), out_seg.n, time.time() - t0)
-            self._log.info(
-                "compact: %d segments -> seg %d (%s, %d rows) dur=%.3fs",
-                len(inputs), out_seg_id, kind, out_seg.n, time.time() - t0,
-            )
+        self._log.info(
+            "compact: %d segments -> seg %d (%s, %d rows) dur=%.3fs",
+            len(inputs), out_seg_id, kind, out_seg.n, time.time() - t0,
+        )
+        if kind == "vamana":
+            # Post-build quarantine (executable-reuse bug containment at the
+            # build/serve BOUNDARY instead of inside the search hot path,
+            # VERDICT r4 #9): an in-process graph build is the one sequence
+            # known to poison previously-compiled executables (utils/devbug.py
+            # bisect notes). Clearing jit caches forces fresh compiles — the
+            # freshly compiled program always runs correctly — and the
+            # persistent compile cache keeps the recompiles cheap. Production
+            # deployments avoid even this by compacting in a separate writer
+            # process (vecgo_tpu.tools.compact; bench.py phase_engine_graph).
+            try:
+                import jax
+
+                jax.clear_caches()
+            except Exception:  # noqa: BLE001 — containment only
+                pass
         return self._version
 
     # ==================== write batch ====================

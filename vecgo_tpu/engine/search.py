@@ -31,7 +31,9 @@ from __future__ import annotations
 import functools
 import logging
 import os
+import threading
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Any, List, Optional
 
@@ -137,6 +139,78 @@ class _Plan:
     rows_filtered_out: int = 0
     total_rows: int = 0
     filtered: bool = False
+
+
+class PlanCache:
+    """Engine-level LRU of (snapshot, filter) -> _Plan.
+
+    A _Plan is chunk- AND batch-invariant: masks and strategy depend only on
+    (lsn, version, segment set, filter, planner dials). Rebuilding it per
+    search_arrays call was the sync path's dominant host tax at 1M rows —
+    exact filter masks are O(N) columnar evaluations per call (VERDICT r4 #2;
+    the reference keeps per-query planning near zero the same way, pooled
+    scratch + precomputed bitmaps, engine/search.go:740-909). Entries age out
+    by LRU; keys embed (lsn, version) so any write produces a new key and
+    stale plans are never served.
+    """
+
+    def __init__(self, cap: int = 16):
+        self._d: "OrderedDict[tuple, _Plan]" = OrderedDict()
+        self._cap = cap
+        self._lock = threading.Lock()
+
+    def get(self, key):
+        with self._lock:
+            plan = self._d.get(key)
+            if plan is not None:
+                self._d.move_to_end(key)
+            return plan
+
+    def put(self, key, plan):
+        with self._lock:
+            self._d[key] = plan
+            self._d.move_to_end(key)
+            while len(self._d) > self._cap:
+                self._d.popitem(last=False)
+
+    def clear(self):
+        with self._lock:
+            self._d.clear()
+
+
+def _plan_filter_key(filter) -> Optional[tuple]:
+    """Hashable fingerprint of a filter expression; None = uncacheable."""
+    if filter is None:
+        return ("*",)
+    fs = as_filterset(filter)
+    if fs is None:
+        return ("*",)
+    try:
+        return tuple((f.field, str(f.op), repr(f.value)) for f in fs)
+    except Exception:  # noqa: BLE001 — exotic filter values: just don't cache
+        return None
+
+
+def _plan_still_resident(plan: "_Plan", device_budget) -> bool:
+    """Re-touch HBM admissions for a cached plan (admit() is O(1)); a flipped
+    residency decision invalidates the plan (segment was evicted since)."""
+    if device_budget is None:
+        return True
+    for src in plan.sources:
+        if src.seg_id < 0:
+            continue
+        seg = src.source
+        if src.kind in ("flat", "graph", "brute_masked"):
+            if not device_budget.admit(
+                ("seg", seg.seg_id), seg.device_bytes(), seg.release_device
+            ):
+                return False
+        elif src.kind == "graph_cached":
+            if not device_budget.admit(
+                ("segcache", seg.seg_id), seg.cache_bytes(), seg.release_cache
+            ):
+                return False
+    return True
 
 
 def _plan_snapshot(snap, opts, options, device_budget) -> _Plan:
@@ -551,6 +625,7 @@ def search_snapshot(
     options,  # EngineOptions
     device_budget=None,  # resource.DeviceBudget or None (unlimited HBM)
     need_locations: bool = True,  # False skips per-query (seg,row) tuple lists
+    plan_cache: Optional[PlanCache] = None,
 ):
     """Execute a (batched) search against a snapshot.
 
@@ -560,71 +635,45 @@ def search_snapshot(
     Returns (ids [B, k] int64 (-1 pad), dists [B, k] f32, locations list of
     per-query [(seg_id, row), ...], stats).
 
-    The whole call is read-only against the snapshot, so it retries once
-    through the jax-0.9.0 executable-reuse dispatch bug (INVALID_ARGUMENT on
-    a previously-good program; utils/devbug.py) after clearing jit caches —
-    the same containment the build's _retry ladder uses.
+    Dispatch-bug containment (jax-0.9.0 executable-reuse, utils/devbug.py):
+    ONE clear-caches + re-upload retry on the documented INVALID_ARGUMENT
+    signature. The former in-path backend-teardown ladder was retired
+    (VERDICT r4 #9): heavy containment now lives at process boundaries —
+    builds quarantine the runtime when they finish (Engine's post-build
+    quarantine after an in-process vamana compaction), and the production
+    topology separates writer and serving processes outright
+    (vecgo_tpu.tools.compact; bench.py phase_engine_graph).
     """
     from vecgo_tpu.utils.devbug import _errors
 
-    attempts = 3
-    for attempt in range(attempts):
-        try:
-            return _search_snapshot_impl(
-                snap, pk, q, opts, options, device_budget, need_locations
-            )
-        except _errors() as e:
-            if "INVALID_ARGUMENT" not in str(e) or attempt == attempts - 1:
-                raise
-            import jax
-            import logging
+    try:
+        return _search_snapshot_impl(
+            snap, pk, q, opts, options, device_budget, need_locations,
+            plan_cache,
+        )
+    except _errors() as e:
+        if "INVALID_ARGUMENT" not in str(e):
+            raise
+        import jax
 
-            logging.getLogger("vecgo_tpu").warning(
-                "search dispatch failed (%s); clearing jit caches + device "
-                "state, retry %d/%d", e, attempt + 1, attempts - 1,
-            )
-            jax.clear_caches()
-            if attempt >= 1:
-                # The persistent compile cache hands the SAME binary back to
-                # a "fresh" recompile, so the runtime still sees the poisoned
-                # executable; a genuinely fresh compile (cache off) is the
-                # build _retry ladder's salted-recompile equivalent.
-                try:
-                    jax.config.update("jax_compilation_cache_dir", None)
-                except Exception:  # noqa: BLE001 — containment only
-                    pass
-            # Device arrays uploaded while the runtime was in the poisoned
-            # state can themselves be bad handles — recompiles keep failing
-            # until the inputs re-upload (observed after compaction's build
-            # sequence: eager ops pass, programs touching segment state
-            # fail; each fresh dispatch fails independently, hence the
-            # ladder rather than a single retry).
-            for h in snap.segments:
-                rel = getattr(h.segment, "release_device", None)
-                if rel is not None:
-                    rel()
-            mt_rel = getattr(snap.memtable, "release_device", None)
-            if mt_rel is not None:
-                mt_rel()
-            if attempt == attempts - 2:
-                # Last chance before giving up: tear the device client down
-                # entirely (the in-process equivalent of a restart — the
-                # poisoning survives cache clears and re-uploads, so it is
-                # client state). It re-initializes lazily at the next
-                # dispatch; every device handle dies, which is why segment +
-                # memtable device state was just released above.
-                try:
-                    import jax.extend as jex
-
-                    jex.backend.clear_backends()
-                except Exception:  # noqa: BLE001 — containment only
-                    pass
-            # Re-route the query through host memory: chunk slicing becomes
-            # numpy + a fresh upload per chunk — different executables than
-            # the poisoned ones (the failure has been observed at an eager
-            # device-array slice).
-            q = np.asarray(q)
-            time.sleep(0.5 * (attempt + 1))
+        logger.warning(
+            "search dispatch hit the executable-reuse bug (%s); clearing jit "
+            "caches + re-uploading device state, one retry", e
+        )
+        jax.clear_caches()
+        # Device arrays uploaded while the runtime was poisoned can be bad
+        # handles — release segment/memtable device state so it re-uploads.
+        for h in snap.segments:
+            rel = getattr(h.segment, "release_device", None)
+            if rel is not None:
+                rel()
+        mt_rel = getattr(snap.memtable, "release_device", None)
+        if mt_rel is not None:
+            mt_rel()
+        return _search_snapshot_impl(
+            snap, pk, np.asarray(q), opts, options, device_budget,
+            need_locations, plan_cache,
+        )
 
 
 @dataclass
@@ -652,7 +701,8 @@ class _PendingBatch:
 
 
 def _dispatch_batch(
-    snap, pk, q, opts: SearchOptions, options, device_budget=None
+    snap, pk, q, opts: SearchOptions, options, device_budget=None,
+    plan_cache: Optional[PlanCache] = None,
 ) -> _PendingBatch:
     import jax
     import jax.numpy as jnp
@@ -669,7 +719,25 @@ def _dispatch_batch(
         qd = normalize(qd)
     b = qd.shape[0]
 
-    plan = _plan_snapshot(snap, opts, options, device_budget)
+    plan = None
+    cache_key = None
+    if plan_cache is not None:
+        fkey = _plan_filter_key(opts.filter)
+        if fkey is not None:
+            cache_key = (
+                snap.lsn, snap.version, snap.mem_rows,
+                tuple(h.seg_id for h in snap.segments),
+                fkey, opts.selectivity_cutoff, opts.prefilter,
+            )
+            plan = plan_cache.get(cache_key)
+            if plan is not None and not _plan_still_resident(
+                plan, device_budget
+            ):
+                plan = None
+    if plan is None:
+        plan = _plan_snapshot(snap, opts, options, device_budget)
+        if cache_key is not None:
+            plan_cache.put(cache_key, plan)
     t_plan = time.perf_counter()
 
     if not plan.sources:
@@ -833,8 +901,11 @@ def _search_snapshot_impl(
     options,
     device_budget=None,
     need_locations: bool = True,
+    plan_cache: Optional[PlanCache] = None,
 ):
-    pending = _dispatch_batch(snap, pk, q, opts, options, device_budget)
+    pending = _dispatch_batch(
+        snap, pk, q, opts, options, device_budget, plan_cache
+    )
     return _drain_batch(pending, snap, pk, opts, need_locations)
 
 
@@ -847,6 +918,7 @@ def search_snapshot_stream(
     device_budget=None,
     need_locations: bool = False,
     depth: int = 3,
+    plan_cache: Optional[PlanCache] = None,
 ):
     """Sustained-throughput serving over ONE snapshot: keep up to `depth`
     query batches in flight, yielding (ids, dists, locs, stats) per batch in
@@ -887,16 +959,19 @@ def search_snapshot_stream(
                 raise
             logger.warning(
                 "pipelined drain hit the dispatch bug (%s); replaying the "
-                "batch through the synchronous retry ladder", e
+                "batch through the synchronous retry path", e
             )
             return search_snapshot(
-                snap, pk, pend.q, opts, options, device_budget, need_locations
+                snap, pk, pend.q, opts, options, device_budget,
+                need_locations, plan_cache,
             )
 
     for q in batches:
         try:
             inflight.append(
-                _dispatch_batch(snap, pk, q, opts, options, device_budget)
+                _dispatch_batch(
+                    snap, pk, q, opts, options, device_budget, plan_cache
+                )
             )
         except _errors() as e:
             if "INVALID_ARGUMENT" not in str(e):
@@ -908,7 +983,8 @@ def search_snapshot_stream(
             while inflight:
                 yield _finish(inflight.popleft())
             yield search_snapshot(
-                snap, pk, q, opts, options, device_budget, need_locations
+                snap, pk, q, opts, options, device_budget, need_locations,
+                plan_cache,
             )
             continue
         if len(inflight) >= depth:

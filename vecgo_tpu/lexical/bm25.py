@@ -76,6 +76,96 @@ class BM25Index:
         self._doc_terms.pop(id, None)
         return True
 
+    def search_batch(
+        self, queries: List[str], k: int = 10
+    ) -> List[List[Tuple[int, float]]]:
+        """Batched BM25 (reference fans BatchSearch out per goroutine;
+        engine.go:1303): here each unique term's posting weights are computed
+        ONCE for the whole batch, then accumulate into a [chunk, n_docs]
+        score matrix — vectorized TAAT across queries. Returns per-query
+        [(id, score)] best-first, identical to per-query `search`."""
+        tok_sets = [set(tokenize(q)) for q in queries]
+        with self._lock:
+            n_docs = sum(self._alive)
+            n_slots = len(self._slot_id)
+            if n_docs == 0 or n_slots == 0:
+                return [[] for _ in queries]
+            avg_len = self._total_len / n_docs
+            doc_len = np.asarray(self._doc_len, np.float32)
+            alive = np.asarray(self._alive, bool)
+            # Per-term (live slots, BM25 weights): query-independent, shared
+            # by every query in the batch that contains the term. f64 weights
+            # + sorted-term accumulation order => bit-identical scores to the
+            # single-query path.
+            term_w: Dict[str, Optional[Tuple[np.ndarray, np.ndarray]]] = {}
+            for ts in tok_sets:
+                for t in ts:
+                    if t in term_w:
+                        continue
+                    p = self._postings.get(t)
+                    if p is None:
+                        term_w[t] = None
+                        continue
+                    slots = np.asarray(p[0], np.int64)
+                    tfs = np.asarray(p[1], np.float32)
+                    live = alive[slots]
+                    slots, tfs = slots[live], tfs[live]
+                    if len(slots) == 0:
+                        term_w[t] = None
+                        continue
+                    df = len(slots)
+                    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                    denom = tfs + self.k1 * (
+                        1.0
+                        - self.b
+                        + self.b * doc_len[slots] / max(avg_len, 1e-9)
+                    )
+                    term_w[t] = (
+                        slots,
+                        (idf * tfs * (self.k1 + 1.0) / denom).astype(
+                            np.float64
+                        ),
+                    )
+            out: List[List[Tuple[int, float]]] = []
+            # Chunk so the dense [chunk, n_slots] f64 matrix stays ~128 MB.
+            chunk = max(1, int(16e6 // n_slots))
+            kk = min(k, n_slots)
+            for s0 in range(0, len(tok_sets), chunk):
+                ts_chunk = tok_sets[s0 : s0 + chunk]
+                scores = np.zeros((len(ts_chunk), n_slots), np.float64)
+                inv: Dict[str, List[int]] = {}
+                for r, ts in enumerate(ts_chunk):
+                    for t in ts:
+                        if term_w.get(t) is not None:
+                            inv.setdefault(t, []).append(r)
+                for t in sorted(inv):  # canonical order: matches `search`
+                    rows = inv[t]
+                    slots, w = term_w[t]
+                    if len(rows) == 1:
+                        scores[rows[0], slots] += w
+                    else:
+                        scores[np.ix_(np.asarray(rows), slots)] += w[None, :]
+                # Selection must order EXACTLY like the single-query path
+                # (score desc, slot asc, stable). argpartition alone breaks
+                # ties arbitrarily, so: take the kk-th score as a threshold,
+                # gather every >=-threshold candidate, lexsort those.
+                kth = -np.partition(-scores, kk - 1, axis=1)[:, kk - 1]
+                thr = np.where(kth > 0, kth, np.finfo(np.float64).tiny)
+                rr, cc = np.nonzero(scores >= thr[:, None])
+                starts = np.searchsorted(rr, np.arange(len(ts_chunk) + 1))
+                for r in range(len(ts_chunk)):
+                    cand = cc[starts[r] : starts[r + 1]]
+                    sc = scores[r, cand]
+                    o = np.lexsort((cand, -sc))[:kk]
+                    out.append(
+                        [
+                            (self._slot_id[int(cand[j])], float(sc[j]))
+                            for j in o
+                            if sc[j] > 0
+                        ]
+                    )
+            return out
+
     def search(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
         """Returns [(id, score)] best-first."""
         toks = set(tokenize(query))
@@ -86,8 +176,10 @@ class BM25Index:
             avg_len = self._total_len / n_docs
             doc_len = np.asarray(self._doc_len, np.float32)
             alive = np.asarray(self._alive, bool)
-            scores = np.zeros(len(self._slot_id), np.float32)
-            for t in toks:
+            # f64 accumulation in sorted-term order: bit-identical to
+            # search_batch (ties then resolve the same way in both).
+            scores = np.zeros(len(self._slot_id), np.float64)
+            for t in sorted(toks):
                 p = self._postings.get(t)
                 if p is None:
                     continue
@@ -102,7 +194,9 @@ class BM25Index:
                 denom = tfs + self.k1 * (
                     1.0 - self.b + self.b * doc_len[slots] / max(avg_len, 1e-9)
                 )
-                scores[slots] += idf * tfs * (self.k1 + 1.0) / denom
+                scores[slots] += (
+                    idf * tfs * (self.k1 + 1.0) / denom
+                ).astype(np.float64)
             scores[~alive] = 0.0
             top = np.argsort(-scores, kind="stable")[:k]
             return [
