@@ -387,6 +387,23 @@ def phase_engine(results, curve, extras):
     qd = jnp.asarray(q_all)
     qb = jnp.asarray(np.tile(q_all, (max(1, BATCH // N_QUERIES), 1))[:BATCH])
 
+    # Link round-trip evidence: one tiny dispatch+sync costs a full host<->
+    # device round trip, which a SYNCHRONOUS search_arrays call must pay once
+    # per call by definition. sync_qps ~ BATCH / (device_ms + rtt_ms + host);
+    # the pipelined stream (engine_stream_qps) hides the RTT and is the
+    # apples-to-apples serving number. (probe 2026-08-20: dev tunnel RTT
+    # ~25 ms; production PCIe is ~us, making sync ~= stream.)
+    try:
+        f_tiny = jax.jit(lambda v: v + 1)
+        z = jnp.zeros((8,), jnp.float32)
+        np.asarray(f_tiny(z))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            np.asarray(f_tiny(z))
+        extras["link_rtt_ms"] = round((time.perf_counter() - t0) / 5 * 1e3, 1)
+    except Exception:  # noqa: BLE001 — evidence only
+        pass
+
     eng = Engine.open(
         MemoryStore(), EngineOptions(dim=D, flush_threshold=2**62), create=True
     )
@@ -611,6 +628,250 @@ def phase_engine_graph(results, curve, extras):
     except Exception as e:  # noqa: BLE001
         log(f"engine_graph stream failed: {e!r}")
         extras["engine_graph_stream_error"] = repr(e)
+    eng.close()
+
+
+def phase_filtered(results, curve, extras):
+    """FILTERED search at 1M x 128 on the chip — the reference's HEADLINE
+    benchmark axis (benchmark_test/baseline.txt:33-37: 41.5k/22.1k/8.6k QPS
+    at sel=1/10/50% with recall@10=1.000 on its 10k fixture; :5-8 adversarial
+    50k at 9.5k/4.8k/1.8k; its adaptive planner exists for exactly this,
+    search.go:286-311). Three category distributions (uniform / zipf /
+    cluster-correlated) x three selectivities through the FULL engine stack:
+    planner -> exact dense masks (cached per (snapshot, filter)) -> masked
+    bf16 MXU scan + exact f32 rerank -> MVCC visibility. Reports sync QPS,
+    pipelined-stream QPS, and recall@10 against exact masked ground truth."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+
+    from vecgo_tpu import metadata as md
+    from vecgo_tpu.blobstore import MemoryStore
+    from vecgo_tpu.engine import Engine, EngineOptions
+    from vecgo_tpu.model import Metric
+    from vecgo_tpu.ops import distance as Dist
+    from vecgo_tpu.ops import topk as T
+
+    x = np.asarray(_load("x"))
+    q_all = np.asarray(_load("q"))
+    centers = np.asarray(_load("centers"))
+    qd = jnp.asarray(q_all)
+    qb = jnp.asarray(np.tile(q_all, (max(1, BATCH // N_QUERIES), 1))[:BATCH])
+    xd = jnp.asarray(x)
+    rnorm2 = jnp.sum(xd * xd, axis=1)
+
+    # --- category distributions (reference fixture families) ---
+    rng = np.random.default_rng(77)
+    cats_u = rng.integers(0, 100, N).astype(np.int64)  # uniform
+    cats_z = np.minimum(rng.zipf(1.5, N) - 1, 9999).astype(np.int64)  # zipf
+    # cluster-correlated: the corpus' own nearest natural center
+    log("filtered: computing cluster-correlated categories...")
+    cd_dev = jnp.asarray(centers)
+    cats_c = np.empty(N, np.int64)
+    for s in range(0, N, 131072):
+        ch = xd[s : s + 131072]
+        cats_c[s : s + ch.shape[0]] = np.asarray(
+            jnp.argmin(Dist.squared_l2(ch, cd_dev), axis=1)
+        )
+
+    log("filtered: ingesting 1M rows with metadata...")
+    eng = Engine.open(
+        MemoryStore(), EngineOptions(dim=D, flush_threshold=2**62), create=True
+    )
+    t0 = time.perf_counter()
+    metas = [
+        {"u": int(u), "z": int(z), "c": int(c)}
+        for u, z, c in zip(cats_u, cats_z, cats_c)
+    ]
+    ids_list = eng.insert_batch(x, metadatas=metas)
+    extras["filtered_ingest_s"] = round(time.perf_counter() - t0, 1)
+    ids_arr = np.asarray(ids_list, np.int64)
+    del metas
+    log("filtered: commit (builds the columnar metadata index)...")
+    t0 = time.perf_counter()
+    eng.commit()
+    extras["filtered_commit_s"] = round(time.perf_counter() - t0, 1)
+
+    def pick_values(cats, target):
+        """Greedy value subset whose realized selectivity ~ target: descend
+        the frequency-sorted values, taking any that still fits under
+        1.02 * target (so a zipf head value of 38% never lands in a 1%
+        filter); fall back to the closest single value if nothing fits."""
+        vals, counts = np.unique(cats, return_counts=True)
+        order = np.argsort(-counts)
+        want = target * len(cats)
+        chosen, acc = [], 0
+        for j in order:
+            if acc + counts[j] <= want * 1.02:
+                chosen.append(int(vals[j]))
+                acc += int(counts[j])
+            if acc >= want * 0.98:
+                break
+        if not chosen:
+            j = int(np.argmin(np.abs(counts - want)))
+            chosen = [int(vals[j])]
+        return chosen
+
+    t_phase = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1800))
+    points = []
+    for dist_name, field, cats in (
+        ("uniform", "u", cats_u),
+        ("zipf", "z", cats_z),
+        ("clustered", "c", cats_c),
+    ):
+        for target in (0.01, 0.10, 0.50):
+            points.append((dist_name, field, cats, target))
+    for dist_name, field, cats, target in points:
+        if time.perf_counter() - t_phase > budget_s:
+            log("filtered: budget reached")
+            break
+        values = pick_values(cats, target)
+        mask = np.isin(cats, np.asarray(values, np.int64))
+        sel = float(mask.mean())
+        tag = f"{dist_name}@{int(target * 100)}pct"
+        log(f"filtered[{tag}]: |values|={len(values)} sel={sel:.4f}")
+        f = md.isin(field, values) if len(values) > 1 else md.eq(
+            field, values[0]
+        )
+        try:
+            # exact masked ground truth (device)
+            _, gt_f = T.blockwise_topk_search(
+                qd, xd, K, metric=Metric.L2, x_norms_sq=rnorm2,
+                mask=jnp.asarray(mask), block_rows=131072, exact=True,
+            )
+            gt_f = np.asarray(gt_f)
+            ids_e = np.asarray(eng.search_arrays(qd, k=K, filter=f)[0])
+            hits = sum(
+                len(
+                    set(int(i) for i in ids_e[b] if i >= 0)
+                    & set(int(ids_arr[j]) for j in gt_f[b] if j >= 0)
+                )
+                for b in range(N_QUERIES)
+            )
+            denom = sum(
+                min(K, int((gt_f[b] >= 0).sum())) for b in range(N_QUERIES)
+            )
+            rec = hits / max(denom, 1)
+            dt = _timed(lambda: eng.search_arrays(qb, k=K, filter=f)[0], reps=3)
+            qps = BATCH / dt
+            extras[f"filtered_{tag}_qps"] = round(qps, 1)
+            extras[f"filtered_{tag}_recall"] = round(rec, 4)
+            extras[f"filtered_{tag}_sel"] = round(sel, 4)
+            curve.append({
+                "path": f"filtered_{dist_name}", "qps": round(qps, 1),
+                "recall": round(rec, 4), "sel": round(sel, 4),
+            })
+            results[f"filtered_{tag}"] = (qps, rec)
+            # pipelined stream at the same point (production serving mode)
+            def stream_all(f=f):
+                for _ in eng.search_arrays_stream(
+                    iter([qb] * 6), k=K, depth=3, filter=f
+                ):
+                    pass
+
+            stream_all()  # warm
+            t0 = time.perf_counter()
+            stream_all()
+            extras[f"filtered_{tag}_stream_qps"] = round(
+                6 * BATCH / (time.perf_counter() - t0), 1
+            )
+        except Exception as e:  # noqa: BLE001
+            log(f"filtered[{tag}] failed: {e!r}")
+            log(traceback.format_exc())
+            extras[f"filtered_{tag}_error"] = repr(e)
+    # summary: worst filtered point vs the reference's committed numbers
+    pairs = [
+        (extras.get(f"filtered_uniform@{p}pct_qps"), p)
+        for p in (1, 10, 50)
+    ]
+    ref = {1: 41529.0, 10: 22061.0, 50: 8596.0}
+    for qps, p in pairs:
+        if qps:
+            extras[f"filtered_vs_ref@{p}pct"] = round(qps / ref[p], 2)
+    eng.close()
+
+
+def phase_hybrid(results, curve, extras):
+    """Hybrid (BM25 + vector, RRF) serving throughput (reference: 216 us/query
+    = 4,620 QPS hybrid on its fixture, baseline.txt:69). Corpus: 200k docs
+    with zipf text + the bench vectors. Measures the batched engine path
+    (hybrid_search_batch): exact host BM25 and the TPU-resident DeviceBM25
+    (bf16 MXU sweep + exact-f32 rescore), plus lexical-only throughput."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+
+    from vecgo_tpu.blobstore import MemoryStore
+    from vecgo_tpu.engine import Engine, EngineOptions
+
+    n_h = min(N, 200_000)
+    x = np.asarray(_load("x"))[:n_h]
+    q_all = np.asarray(_load("q"))
+    rng = np.random.default_rng(99)
+    vocab = [f"w{i}" for i in range(20_000)]
+    log(f"hybrid: generating {n_h} docs...")
+    word_ids = np.minimum(rng.zipf(1.3, (n_h, 12)) - 1, 19_999)
+    texts = [" ".join(vocab[w] for w in row) for row in word_ids]
+    eng = Engine.open(
+        MemoryStore(),
+        EngineOptions(dim=D, flush_threshold=2**62, lexical=True),
+        create=True,
+    )
+    log("hybrid: ingesting...")
+    t0 = time.perf_counter()
+    eng.insert_batch(x, texts=texts)
+    extras["hybrid_ingest_s"] = round(time.perf_counter() - t0, 1)
+    eng.commit()
+
+    # queries: 3 hot-ish words + a vector near the corpus
+    qw = np.minimum(rng.zipf(1.3, (BATCH, 3)) - 1, 19_999)
+    qtexts = [" ".join(vocab[w] for w in row) for row in qw]
+    qb = jnp.asarray(np.tile(q_all, (max(1, BATCH // N_QUERIES), 1))[:BATCH])
+
+    log("hybrid: exact host BM25 path...")
+    try:
+        eng.hybrid_search_batch(qb, qtexts, k=K)  # warm
+        t0 = time.perf_counter()
+        ids_exact, _ = eng.hybrid_search_batch(qb, qtexts, k=K)
+        dt = time.perf_counter() - t0
+        extras["hybrid_exact_qps"] = round(BATCH / dt, 1)
+        extras["hybrid_exact_vs_ref"] = round(BATCH / dt / 4620.0, 2)
+    except Exception as e:  # noqa: BLE001
+        log(f"hybrid exact failed: {e!r}")
+        log(traceback.format_exc())
+        extras["hybrid_exact_error"] = repr(e)
+        ids_exact = None
+
+    log("hybrid: device BM25 path (MXU lexical)...")
+    try:
+        dev = eng.enable_device_lexical(max_hot_terms=4096, min_df=8)
+        extras["hybrid_dev_hbm_mb"] = round(dev.device_bytes() / 1e6, 1)
+        eng.hybrid_search_batch(qb, qtexts, k=K)  # warm (compiles)
+        t0 = time.perf_counter()
+        ids_dev, _ = eng.hybrid_search_batch(qb, qtexts, k=K)
+        dt = time.perf_counter() - t0
+        extras["hybrid_device_qps"] = round(BATCH / dt, 1)
+        extras["hybrid_device_vs_ref"] = round(BATCH / dt / 4620.0, 2)
+        if ids_exact is not None:
+            # agreement with the exact path (bf16 near-ties may differ)
+            agree = np.mean(
+                [
+                    len(set(ids_dev[b]) & set(ids_exact[b]))
+                    / max(1, (ids_exact[b] >= 0).sum())
+                    for b in range(BATCH)
+                ]
+            )
+            extras["hybrid_device_agreement"] = round(float(agree), 4)
+        # lexical-only throughput (reference: 35 us/q lexical, baseline.txt:71)
+        dev.search_batch(qtexts[:BATCH], K)  # warm
+        t0 = time.perf_counter()
+        dev.search_batch(qtexts[:BATCH], K)
+        extras["lexical_device_qps"] = round(
+            BATCH / (time.perf_counter() - t0), 1
+        )
+    except Exception as e:  # noqa: BLE001
+        log(f"hybrid device failed: {e!r}")
+        log(traceback.format_exc())
+        extras["hybrid_device_error"] = repr(e)
     eng.close()
 
 
@@ -978,6 +1239,8 @@ PHASES = {
     "ingest": (phase_ingest, 600),
     "flat": (phase_flat, 900),
     "engine": (phase_engine, 1200),
+    "filtered": (phase_filtered, 1800),
+    "hybrid": (phase_hybrid, 1200),
     "vamana": (phase_vamana, 2400),
     "engine_graph": (phase_engine_graph, 2400),
 }
@@ -988,7 +1251,10 @@ def _phase_list():
         return ["prep", "ingest", "flat", "engine"]
     if MODE == "vamana":
         return ["prep", "vamana"]
-    return ["prep", "ingest", "flat", "engine", "vamana", "engine_graph"]
+    return [
+        "prep", "ingest", "flat", "engine", "filtered", "hybrid", "vamana",
+        "engine_graph",
+    ]
 
 
 def _run_phase_inline(name):

@@ -140,6 +140,63 @@ def test_sharded_snapshot_searcher(mesh8):
         assert list(got[bi]) == want
 
 
+def test_sharded_engine_full_plane(mesh8):
+    """FULL sharded serving plane (VERDICT r4 #5): coded vamana segment
+    (its OWN SQ8 table sharded — no f32 re-upload) + flat segment + memtable
+    rows + deletes in both + an update, served via ShardedEngineSearcher
+    with dp-parallel coded graph refinement; results must equal exact brute
+    force over the engine's VISIBLE rows (the reference fan-out contract,
+    engine/search.go:790-909)."""
+    import numpy as np
+
+    from vecgo_tpu.blobstore import MemoryStore
+    from vecgo_tpu.engine import Engine, EngineOptions
+    from vecgo_tpu.parallel.engine_shard import (
+        ShardedEngineSearcher, _brute_visible,
+    )
+    from vecgo_tpu.utils import testutil as tu
+
+    eng = Engine.open(
+        MemoryStore(),
+        EngineOptions(dim=16, flush_threshold=10**9, graph_threshold=64,
+                      compaction_threshold=10**9, serve_ivf_min_n=64),
+        create=True,
+    )
+    x = tu.gaussian_vectors(480, 16, seed=91)
+    ids = eng.insert_batch(x[:256])
+    eng.commit()
+    ids_b = eng.insert_batch(x[256:320])
+    ids += ids_b
+    eng.commit()
+    eng.compact([h.seg_id for h in eng._segments])  # -> coded vamana seg
+    ids_f = eng.insert_batch(x[320:400])
+    eng.commit()  # second (flat) segment
+    ids_m = eng.insert_batch(x[400:440])  # memtable rows
+    eng.delete(ids[7])       # vamana tombstone
+    eng.delete(ids_f[3])     # flat tombstone
+    eng.delete(ids_m[2])     # memtable tombstone
+    eng.insert(x[440], id=ids[9])  # update -> dirty id, stale coded row
+    assert any(
+        getattr(h.segment, "ivf_members", None) is not None
+        for h in eng._segments
+    )
+    snap = eng.snapshot()
+    try:
+        ses = ShardedEngineSearcher(snap, mesh8, eng.options.metric, eng.pk)
+        q = x[:8]
+        got, gd = ses.search(q, k=5, n_probe_local=8, kk=32, refine_steps=2,
+                             ef=48)
+    finally:
+        snap.release()
+    want, wd = _brute_visible(eng, q, 5)
+    assert (got == want).all(), (got, want)
+    np.testing.assert_allclose(gd, wd, rtol=1e-4, atol=1e-4)
+    # deleted/stale rows never surface
+    flat = set(got.reshape(-1).tolist())
+    assert ids[7] not in flat and ids_f[3] not in flat and ids_m[2] not in flat
+    eng.close()
+
+
 def test_sharded_cluster_knn_matches_local(mesh8):
     import numpy as np
     import jax, jax.numpy as jnp

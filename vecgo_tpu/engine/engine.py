@@ -93,6 +93,7 @@ class EngineOptions:
     flat_scan_dtype: str = "bf16"  # "bf16" (1-pass MXU scan + exact f32 rerank) | "f32" (3-pass HIGH scan)
     serve_compact: bool = False  # coded-table repack: half HBM, ~2x probes
     serve_refine: bool = True  # int16 pool-rescore plane (+2 B/dim/row HBM): recall to the pool bound
+    serve_ivf_min_n: int = 4096  # min rows for a coded IVF serving table (below: pure graph walk)
     store_codes: Any = False  # persist ivfq.* codes for cloud serving: False | True/"sq8" | "pq" | "opq"
     selectivity_cutoff: float = 0.30
     lexical: bool = False  # BM25 over insert(text=...)
@@ -181,6 +182,7 @@ class Engine:
         # repeated batches skip the O(N) mask/strategy rebuild (search.py).
         self._plan_cache = search_mod.PlanCache()
         self._lexical = None
+        self._lexical_dev = None  # (version key, DeviceBM25) serving snapshot
         if options.lexical:
             from vecgo_tpu.lexical.bm25 import BM25Index
 
@@ -828,6 +830,20 @@ class Engine:
             out.append(c)
         return SearchResult(candidates=out)
 
+    def enable_device_lexical(self, max_hot_terms: int = 4096, min_df: int = 8):
+        """Build the TPU-resident BM25 serving snapshot (lexical/device_bm25):
+        hot-vocabulary BM25 weights as a [n_docs, H] bf16 HBM table scored on
+        the MXU, with exact-f32 pool rescore. Used automatically by
+        hybrid_search_batch while the engine version is unchanged; call again
+        after writes to refresh. Returns the DeviceBM25 object."""
+        if self._lexical is None:
+            raise ValueError("lexical index not enabled (EngineOptions.lexical)")
+        from vecgo_tpu.lexical.device_bm25 import DeviceBM25
+
+        snap = DeviceBM25(self._lexical, max_hot_terms=max_hot_terms, min_df=min_df)
+        self._lexical_dev = ((self._version, self._lsn), snap)
+        return snap
+
     def hybrid_search_batch(
         self, qs, texts, k: int = 10, rrf_k: int = 60, pool: int = 0, **kw
     ):
@@ -846,7 +862,13 @@ class Engine:
             raise ValueError("texts/queries length mismatch")
         pool = pool or max(2 * k, 20)
         vids, _ = self.search_arrays(qs, k=pool, **kw)  # [B, pool] int64
-        lres = self._lexical.search_batch(list(texts), pool)
+        dev = self._lexical_dev
+        if dev is not None and dev[0] == (self._version, self._lsn):
+            # TPU-resident BM25 (enable_device_lexical): MXU sweep + exact
+            # rescore; rare-term queries fall back to the host index inside.
+            lres = dev[1].search_batch(list(texts), pool)
+        else:
+            lres = self._lexical.search_batch(list(texts), pool)
         b = vids.shape[0]
         lids = np.full((b, pool), -1, np.int64)
         for bi, hits in enumerate(lres):
@@ -1052,6 +1074,7 @@ class Engine:
                 seed=self.options.seed,
                 compress=self.options.compress_segments,
                 store_codes=self.options.store_codes,
+                ivf_min_n=self.options.serve_ivf_min_n,
             )
             kind = "vamana"
         else:

@@ -282,6 +282,7 @@ class VamanaWriter:
         build_params: Optional[dict] = None,
         serve_ivf: bool = True,
         ivf_capacity: int = 512,
+        ivf_min_n: int = 4096,  # below this, a graph walk beats the table
         store_codes: bool = False,
     ):
         """build_mode: "clustered" (default — cluster-local KNN + RobustPrune,
@@ -307,6 +308,7 @@ class VamanaWriter:
         self.build_params = dict(build_params or {})
         self.serve_ivf = serve_ivf
         self.ivf_capacity = ivf_capacity
+        self.ivf_min_n = ivf_min_n
         # Persist the SQ8-residual coded table (`ivfq.*` sections) so remote
         # opens can serve from block-granular ranged reads without ever
         # downloading the vectors (reference: codes ARE the on-disk serving
@@ -338,7 +340,7 @@ class VamanaWriter:
     def finish(self) -> bytes:
         n = len(self._rows)
         x, ids = self._rows.stacked(self.metric)
-        want_ivf = self.serve_ivf and n >= 4096
+        want_ivf = self.serve_ivf and n >= self.ivf_min_n
         ivf_members = None
         if self.build_mode == "clustered":
             import jax.numpy as jnp

@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from vecgo_tpu.model import Metric
-from vecgo_tpu.parallel.mesh import ShardedFlat
+from vecgo_tpu.parallel.mesh import ShardedFlat, ShardedIVF
 
 
 class ShardedSnapshotSearcher:
@@ -83,6 +83,265 @@ class ShardedSnapshotSearcher:
         d = np.asarray(d)[:b]
         out = np.where(rows >= 0, self.ids[np.maximum(rows, 0)], -1)
         return out, np.where(rows >= 0, d, np.inf)
+
+
+class ShardedEngineSearcher:
+    """FULL engine serving plane over a device mesh (VERDICT r4 #5 — the
+    reference's fan-out covers memtable + all segments, engine/search.go:
+    790-909; this is that contract re-expressed as SPMD).
+
+    Per-source plan, mirroring the single-chip planner:
+
+    - **VamanaSegment (coded)**: the segment's OWN SQ8-residual coded table —
+      no f32 re-upload — cluster-shards across the mesh (ShardedIVF scan +
+      ICI all_gather merge). Optional coded GRAPH refinement runs dp-parallel
+      under shard_map with the coded table + graph REPLICATED per device:
+      graph gathers are all-to-all-hostile, and the coded table is ~9% of the
+      f32 corpus, so replication is the affordable answer on the refinement
+      stage while the scan stage shards FLOPs and bytes.
+    - **FlatSegment**: rows shard via ShardedFlat (flat segments' serving
+      plane IS full-precision rows); tombstones baked into the shard mask.
+    - **memtable**: host-side exact numpy scoring (small + mutable), merged
+      into the global pool host-side.
+
+    MVCC: per-source tombstones are dropped before the merge; multi-version
+    ("dirty") ids verify against the PK chain at the merge — the same
+    visibility rule as engine/search._finish_chunk. The final ranking is an
+    exact f32 rerank of each source's candidate window.
+    """
+
+    def __init__(
+        self,
+        snapshot,
+        mesh: Mesh,
+        metric: Metric = Metric.L2,
+        pk=None,
+        include_memtable: bool = True,
+    ):
+        from vecgo_tpu.index.flat import FlatSegment
+
+        self.mesh = mesh
+        self.metric = metric
+        self.pk = pk
+        self.lsn = snapshot.lsn
+        self.sources = []  # (kind, seg_id, payload...)
+        self._refine_fns = {}
+        for h in snapshot.segments:
+            seg = h.segment
+            if seg.n == 0:
+                continue
+            dead = snapshot.tombstones.deleted_mask(
+                seg.seg_id, seg.n, snapshot.lsn
+            )
+            if getattr(seg, "ivf_members", None) is not None:
+                # Coded graph segment: shard its own coded table.
+                dev = seg.device_state()
+                table = dev["ivfq"]
+                siv = ShardedIVF(table, mesh)
+                deleted = (
+                    np.flatnonzero(dead) if dead is not None
+                    else np.zeros(0, np.int64)
+                )
+                self.sources.append((
+                    "ivf", seg.seg_id, seg, siv, table, set(deleted.tolist()),
+                ))
+            elif isinstance(seg, FlatSegment):
+                mask = ~dead if dead is not None else None
+                sf = ShardedFlat(
+                    np.asarray(seg.vectors, np.float32), mesh,
+                    metric=metric, mask=mask,
+                )
+                self.sources.append(("flat", seg.seg_id, seg, sf))
+            else:  # legacy table-less vamana: exact sharded scan of its rows
+                mask = ~dead if dead is not None else None
+                sf = ShardedFlat(
+                    np.asarray(seg.vectors, np.float32), mesh,
+                    metric=metric, mask=mask,
+                )
+                self.sources.append(("flat", seg.seg_id, seg, sf))
+        self.mem = None
+        if include_memtable and snapshot.mem_rows:
+            mem = snapshot.memtable
+            n_vis = snapshot.mem_rows
+            vecs = np.stack([mem.vector(r) for r in range(n_vis)]).astype(
+                np.float32
+            )
+            ids = np.asarray(mem.ids[:n_vis], np.int64)
+            lsns = np.asarray(mem.lsns[:n_vis], np.int64)
+            dead = mem.deleted_mask(n_vis, snapshot.lsn)
+            alive = ~dead if dead is not None else np.ones(n_vis, bool)
+            self.mem = (vecs, ids, lsns, alive)
+
+    # ---------------- dp-parallel coded graph refinement ----------------
+
+    def _refine(self, seg_key, table, graph_host, q: np.ndarray,
+                pool: np.ndarray, ef: int, beam_width: int, steps: int):
+        """Refine a candidate pool through the coded graph, sharded over the
+        query (dp x shard flattened) axis; table + graph replicated."""
+        mesh = self.mesh
+        axes = tuple(mesh.axis_names)
+        n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+        arr_leaves = [l for l in table if l is not None]
+        pad_none = len(table) - len(arr_leaves)  # trailing Optional fields
+        key = (seg_key, pool.shape[1], ef, beam_width, steps, pad_none)
+        if key not in self._refine_fns:
+            from vecgo_tpu.ops import beam as beam_ops
+            from vecgo_tpu.ops.ivf import IVFCodedTable
+
+            def local(q_, pool_, g_, *leaves):
+                tbl = IVFCodedTable(*leaves, *([None] * pad_none))
+                qc = jnp.einsum(
+                    "bd,kd->bk", q_.astype(jnp.float32), tbl.centroids
+                )
+                d2, p2 = beam_ops.beam_search_coded(
+                    q_, tbl, g_, pool_, qc, ef=ef, k=ef,
+                    beam_width=beam_width, max_steps=steps,
+                )
+                return d2, p2
+
+            fn = jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(axes, None), P(axes, None), P())
+                + (P(),) * len(arr_leaves),
+                out_specs=(P(axes, None), P(axes, None)),
+                check_vma=False,
+            )
+            self._refine_fns[key] = jax.jit(fn)
+        b = q.shape[0]
+        pad = (-b) % n_dev
+        if pad:
+            q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.float32)])
+            pool = np.concatenate(
+                [pool, np.full((pad, pool.shape[1]), 0, pool.dtype)]
+            )
+        from jax.sharding import NamedSharding
+
+        rep = NamedSharding(self.mesh, P())
+        row_sh = NamedSharding(self.mesh, P(tuple(self.mesh.axis_names), None))
+        leaves = [jax.device_put(np.asarray(x), rep) for x in arr_leaves]
+        d2, p2 = self._refine_fns[key](
+            jax.device_put(q, row_sh),
+            jax.device_put(np.asarray(pool, np.int32), row_sh),
+            jax.device_put(np.asarray(graph_host, np.int32), rep),
+            *leaves,
+        )
+        return np.asarray(d2)[:b], np.asarray(p2)[:b]
+
+    # ---------------- search ----------------
+
+    def search(self, q: np.ndarray, k: int, n_probe_local: int = 8,
+               kk: int = 16, refine_steps: int = 0, ef: int = 64,
+               beam_width: int = 4):
+        """Sharded fan-out over every source; returns (ids [B,k] int64 -1
+        pad, dists [B,k] f32), exact-f32-ranked and MVCC-visible."""
+        q = np.asarray(q, np.float32)
+        b = q.shape[0]
+        cand_d, cand_id, cand_lsn = [], [], []
+
+        def _exact(qb, vecs, rows):
+            safe = np.maximum(rows, 0)
+            v = vecs[safe]  # [B, P, d]
+            dd = (
+                np.einsum("bd,bd->b", qb, qb)[:, None]
+                + np.einsum("bpd,bpd->bp", v, v)
+                - 2.0 * np.einsum("bpd,bd->bp", v, qb)
+            )
+            return np.where(rows >= 0, np.maximum(dd, 0.0), np.inf).astype(
+                np.float32
+            )
+
+        for src in self.sources:
+            if src[0] == "ivf":
+                _, seg_id, seg, siv, table, deleted = src
+                d, rows = siv.search(q, n_probe_local=n_probe_local, kk=kk)
+                if refine_steps > 0:
+                    # entry pool for the dp-parallel beam: best <=ef coded
+                    # candidates (beam internals pad the frontier to ef).
+                    _, rows = self._refine(
+                        seg_id, table, seg.graph, q, rows[:, :ef], ef,
+                        beam_width, refine_steps,
+                    )
+                rows = rows.astype(np.int64)
+                if deleted:
+                    dead = np.isin(rows, np.fromiter(deleted, np.int64))
+                    rows = np.where(dead, -1, rows)
+                vecs = np.asarray(seg.vectors, np.float32)
+                dd = _exact(q, vecs, rows)
+            else:
+                _, seg_id, seg, sf = src
+                dd, rows = sf.search(q, min(k + 16, seg.n))
+                dd = np.asarray(dd)
+                rows = np.asarray(rows).astype(np.int64)
+                dd = np.where(rows >= 0, dd, np.inf).astype(np.float32)
+            ids_src = np.asarray(seg.ids, np.int64)
+            lsn_src = np.asarray(seg.lsns, np.int64)
+            safe = np.maximum(rows, 0)
+            cand_d.append(np.where(rows >= 0, dd, np.inf))
+            cand_id.append(np.where(rows >= 0, ids_src[safe], -1))
+            cand_lsn.append(np.where(rows >= 0, lsn_src[safe], -1))
+        if self.mem is not None:
+            vecs, ids, lsns, alive = self.mem
+            dd = (
+                np.einsum("bd,bd->b", q, q)[:, None]
+                + np.einsum("nd,nd->n", vecs, vecs)[None, :]
+                - 2.0 * q @ vecs.T
+            )
+            dd = np.where(alive[None, :], np.maximum(dd, 0.0), np.inf)
+            kk_m = min(k + 16, vecs.shape[0])
+            sel = np.argpartition(dd, kk_m - 1, axis=1)[:, :kk_m]
+            dsel = np.take_along_axis(dd, sel, axis=1).astype(np.float32)
+            cand_d.append(dsel)
+            cand_id.append(np.where(np.isfinite(dsel), ids[sel], -1))
+            cand_lsn.append(np.where(np.isfinite(dsel), lsns[sel], -1))
+        if not cand_d:
+            return (
+                np.full((b, k), -1, np.int64),
+                np.full((b, k), np.inf, np.float32),
+            )
+        D_all = np.concatenate(cand_d, axis=1)
+        I_all = np.concatenate(cand_id, axis=1)
+        L_all = np.concatenate(cand_lsn, axis=1)
+        order = np.argsort(D_all, axis=1, kind="stable")
+        D_all = np.take_along_axis(D_all, order, axis=1)
+        I_all = np.take_along_axis(I_all, order, axis=1)
+        L_all = np.take_along_axis(L_all, order, axis=1)
+        valid = np.isfinite(D_all) & (I_all >= 0)
+        # MVCC visibility + dedup (same rule as engine/search._finish_chunk):
+        # single-version ids are trivially visible; dirty ids check the chain.
+        dirty = self.pk.dirty_sorted() if self.pk is not None else np.zeros(
+            0, np.int64
+        )
+        if len(dirty):
+            from vecgo_tpu.engine.pk import DELETED
+
+            flagged = valid & np.isin(I_all, dirty)
+            for bi, j in zip(*np.nonzero(flagged)):
+                ent = self.pk.get_entry(int(I_all[bi, j]), self.lsn)
+                if (
+                    ent is None
+                    or ent[1] == DELETED
+                    or ent[0] != int(L_all[bi, j])
+                ):
+                    valid[bi, j] = False
+        out_ids = np.full((b, k), -1, np.int64)
+        out_d = np.full((b, k), np.inf, np.float32)
+        for bi in range(b):
+            seen = set()
+            o = 0
+            for j in range(D_all.shape[1]):
+                if not valid[bi, j]:
+                    continue
+                cid = int(I_all[bi, j])
+                if cid in seen:
+                    continue
+                seen.add(cid)
+                out_ids[bi, o] = cid
+                out_d[bi, o] = D_all[bi, j]
+                o += 1
+                if o == k:
+                    break
+        return out_ids, out_d
 
 
 def sharded_cluster_knn(
@@ -252,7 +511,62 @@ def dryrun_engine_sharded(mesh: Mesh) -> None:
     # Coded (decoded-x̂) self-distance: bounded by the SQ8 residual step —
     # far below the ~2d expected inter-point distance on gaussian data.
     assert float(dd[0, 0]) < 1.0, float(dd[0, 0])
+
+    # ---- FULL engine serving plane sharded (VERDICT r4 #5): a snapshot
+    # with a coded VAMANA segment + memtable rows + deletes + an update,
+    # served through ShardedEngineSearcher (cluster-sharded coded scan,
+    # dp-parallel coded graph refinement, host memtable merge, PK-chain
+    # visibility), checked against exact brute force over visible rows.
+    eng2 = Engine.open(
+        MemoryStore(),
+        EngineOptions(
+            dim=d, flush_threshold=10**9, graph_threshold=64,
+            compaction_threshold=2, serve_ivf_min_n=64,
+        ),
+        create=True,
+    )
+    x2 = tu.gaussian_vectors(6 * 64, d, seed=51)
+    ids2 = eng2.insert_batch(x2[:256])
+    eng2.commit()
+    eng2.insert_batch(x2[256:320])
+    eng2.commit()
+    eng2.compact([h.seg_id for h in eng2._segments])  # -> vamana segment
+    ids_mem = eng2.insert_batch(x2[320:360])  # memtable rows
+    eng2.delete(ids2[3])  # segment tombstone
+    eng2.delete(ids_mem[1])  # memtable tombstone
+    eng2.insert(x2[360], id=ids2[5])  # update: dirty id (old row stale)
+    assert any(
+        getattr(h.segment, "ivf_members", None) is not None
+        for h in eng2._segments
+    ), "dryrun must exercise the CODED sharded path"
+    snap2 = eng2.snapshot()
+    try:
+        ses = ShardedEngineSearcher(snap2, mesh, eng2.options.metric, eng2.pk)
+        got_ids, got_d = ses.search(
+            x2[:6], k=5, n_probe_local=8, kk=16, refine_steps=2, ef=32,
+        )
+    finally:
+        snap2.release()
+    exp_ids, _ = _brute_visible(eng2, x2[:6], 5)
+    assert (got_ids == exp_ids).all(), (got_ids, exp_ids)
+    assert int(got_ids[3, 0]) != ids2[3]  # deleted id never surfaces
+    eng2.close()
     print(
         "dryrun_engine_sharded OK: sharded snapshot search + sharded build "
-        "knn + sharded coded-IVF serving"
+        "knn + sharded coded-IVF serving + FULL sharded engine plane "
+        "(coded scan + dp graph refinement + memtable merge + MVCC)"
     )
+
+
+def _brute_visible(eng, q: np.ndarray, k: int):
+    """Exact reference answer over the engine's VISIBLE rows (via scan)."""
+    recs = [(c.id, c.vector) for c in eng.scan()]
+    ids = np.asarray([r[0] for r in recs], np.int64)
+    vv = np.stack([r[1] for r in recs]).astype(np.float32)
+    dd = (
+        np.einsum("bd,bd->b", q, q)[:, None]
+        + np.einsum("nd,nd->n", vv, vv)[None, :]
+        - 2.0 * q @ vv.T
+    )
+    order = np.argsort(dd, axis=1, kind="stable")[:, :k]
+    return ids[order], np.take_along_axis(dd, order, axis=1)
