@@ -460,6 +460,26 @@ def phase_engine(results, curve, extras):
         dt_s = time.perf_counter() - t0
         qps_s = n_stream * BATCH / dt_s
         extras["engine_stream_qps"] = round(qps_s, 1)
+        # Under-load latency series (reference: P50/P95/P99 under
+        # concurrency, baseline.txt:88): batch-completion intervals during a
+        # saturated pipelined stream, normalized per query.
+        t_prev = time.perf_counter()
+        gaps = []
+        for _ in eng.search_arrays_stream(iter([qb] * 16), k=K, depth=3):
+            now = time.perf_counter()
+            gaps.append((now - t_prev) * 1e3)
+            t_prev = now
+        gaps = np.sort(np.asarray(gaps[1:]))  # first carries warm skew
+        extras["engine_underload_p50_us_per_q"] = round(
+            float(gaps[len(gaps) // 2]) / BATCH * 1e3, 2
+        )
+        extras["engine_underload_p95_us_per_q"] = round(
+            float(gaps[int(len(gaps) * 0.95)]) / BATCH * 1e3, 2
+        )
+        extras["engine_underload_p99_us_per_q"] = round(
+            float(gaps[min(int(len(gaps) * 0.99), len(gaps) - 1)]) / BATCH
+            * 1e3, 2,
+        )
         # Stream results are bit-identical to the sync path (pinned by
         # test_search_arrays_stream_matches_sync), so rec_e applies.
         results["engine_flat_stream"] = (qps_s, rec_e)
@@ -843,7 +863,10 @@ def phase_hybrid(results, curve, extras):
 
     log("hybrid: device BM25 path (MXU lexical)...")
     try:
-        dev = eng.enable_device_lexical(max_hot_terms=4096, min_df=8)
+        # H=2048: the bf16 weight table is 200k x 2048 x 2 B = 819 MB — the
+        # one-time upload rides the dev tunnel's ~16 MB/s sustained rate, and
+        # the per-batch H2D is just the [B, 16] int32 term columns.
+        dev = eng.enable_device_lexical(max_hot_terms=2048, min_df=8)
         extras["hybrid_dev_hbm_mb"] = round(dev.device_bytes() / 1e6, 1)
         eng.hybrid_search_batch(qb, qtexts, k=K)  # warm (compiles)
         t0 = time.perf_counter()

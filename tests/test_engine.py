@@ -250,7 +250,8 @@ def test_invalid_vectors_rejected():
 
 
 def test_hybrid_search_rrf():
-    eng = new_engine(lexical=True)
+    store = MemoryStore()
+    eng = new_engine(store=store, lexical=True)
     x = tu.gaussian_vectors(50, D, seed=52)
     texts = [f"document about topic {i % 5} and stuff" for i in range(50)]
     texts[3] = "the quick brown fox jumps over the lazy dog"
@@ -261,6 +262,13 @@ def test_hybrid_search_rrf():
     eng.commit()
     res = eng.hybrid_search(x[3], "quick brown fox", k=5)
     assert res[0].id == ids[3]
+    eng.close()
+    # True reopen: the BM25 index rebuilds from the segment's "_text"
+    # column (no byte scanning — _rebuild_lexical reads ColumnarMeta).
+    eng2 = Engine.open(store, EngineOptions(dim=D, lexical=True))
+    res = eng2.hybrid_search(x[3], "quick brown fox", k=5)
+    assert res[0].id == ids[3]
+    eng2.close()
 
 
 def test_hybrid_search_batch_matches_single():

@@ -49,14 +49,24 @@ def test_device_matches_exact_on_hot_queries():
                 assert abs(s - wmap[id_]) < 2e-2 * max(1.0, abs(wmap[id_]))
 
 
-def test_rare_term_falls_back_to_exact():
+def test_rare_term_host_merge():
+    """Rare (below-min_df) terms merge host-side into the device pool:
+    candidates = pool ∪ rare-posting docs, exact up to bf16 weight
+    quantization — no dense fallback (it would cost more than the whole
+    device sweep). Ids must match the exact path; scores within bf16."""
     idx = _build()
     dev = DeviceBM25(idx, max_hot_terms=256, min_df=4)
     q = ["rareterm97 word1", "word3"]
     got = dev.search_batch(q, k=5)
     want = idx.search_batch(q, k=5)
-    assert got[0] == want[0]  # rare-term query: identical (host fallback)
-    assert 98 in [id_ for id_, _ in got[0]]
+    assert [i for i, _ in got[0]] == [i for i, _ in want[0]]
+    for (gi, gs), (wi, ws) in zip(got[0], want[0]):
+        assert abs(gs - ws) < 2e-2 * max(1.0, abs(ws))
+    assert 98 in [id_ for id_, _ in got[0]]  # the rare-term doc surfaces
+    # a doc that scores ONLY via the rare term still beats hot-only docs
+    got2 = dev.search_batch(["rareterm194"], k=3)[0]
+    want2 = idx.search_batch(["rareterm194"], k=3)[0]
+    assert [i for i, _ in got2] == [i for i, _ in want2]
 
 
 def test_unknown_terms_and_empty_query():
