@@ -94,6 +94,7 @@ class EngineOptions:
     serve_compact: bool = False  # coded-table repack: half HBM, ~2x probes
     serve_refine: bool = True  # int16 pool-rescore plane (+2 B/dim/row HBM): recall to the pool bound
     serve_ivf_min_n: int = 4096  # min rows for a coded IVF serving table (below: pure graph walk)
+    lexical_device: str = "auto"  # "auto" | "off": MXU BM25 snapshot for batched hybrid at >=50k docs
     store_codes: Any = False  # persist ivfq.* codes for cloud serving: False | True/"sq8" | "pq" | "opq"
     selectivity_cutoff: float = 0.30
     lexical: bool = False  # BM25 over insert(text=...)
@@ -851,6 +852,17 @@ class Engine:
         vids, _ = self.search_arrays(qs, k=pool, **kw)  # [B, pool] int64
         b = vids.shape[0]
         dev = self._lexical_dev
+        if (
+            (dev is None or dev[0] != (self._version, self._lsn))
+            and self.options.lexical_device == "auto"
+            and len(self._lexical) >= 50_000
+        ):
+            # Auto-build the MXU serving snapshot: at this corpus size the
+            # dense exact host batch costs seconds per call while the device
+            # sweep costs milliseconds; rebuild happens at most once per
+            # write->search transition (keyed to (version, lsn)).
+            self.enable_device_lexical()
+            dev = self._lexical_dev
         if dev is not None and dev[0] == (self._version, self._lsn):
             # TPU-resident BM25 (enable_device_lexical): MXU sweep + exact
             # rescore; rare-term queries merge host-side inside. Array
