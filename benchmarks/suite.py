@@ -219,6 +219,13 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--selectivity", type=float, default=0.1)
+    ap.add_argument(
+        "--scan-dtype", default="f32", choices=("f32", "bf16"),
+        help="flat scan profile: f32 = exact 3-pass (apples-to-apples with "
+        "the reference's committed full-precision recall=1.0 runs; the "
+        "adversarially tight 'clustered' fixture has hundreds of near-ties "
+        "inside the bf16 pool margin); bf16 = the throughput default",
+    )
     ap.add_argument("--quantizer", default="none")
     ap.add_argument(
         "--compact", action="store_true",
@@ -243,7 +250,7 @@ def main():
     except Exception:
         pass
 
-    opts = {}
+    opts = {"flat_scan_dtype": args.scan_dtype}
     if args.quantizer != "none":
         opts["quantizer"] = args.quantizer
     rows = []

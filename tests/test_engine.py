@@ -129,6 +129,46 @@ def test_filtering_equivalence():
     assert r_post == want
 
 
+def test_filtered_compact_gather_low_selectivity():
+    """Below compact_gather_cutoff the planner gathers eligible rows into a
+    dense device sub-corpus (kind flat_compact) — results must equal brute
+    force over eligible rows exactly, including across repeated batches (the
+    gathered state lives in the cached plan) and after a delete."""
+    eng = new_engine(compact_gather_cutoff=0.10)
+    x = tu.gaussian_vectors(1000, D, seed=48)
+    mds = [{"g": i % 50} for i in range(1000)]  # eq -> 2% selectivity
+    ids = eng.insert_batch(x, mds)
+    eng.commit()
+    f = eq("g", 7)
+    # confirm the plan actually chose the compact path
+    from vecgo_tpu.engine import search as sm
+    from vecgo_tpu.model import SearchOptions
+
+    snap = eng.snapshot()
+    try:
+        opts = SearchOptions(k=5, filter=f)
+        opts.selectivity_cutoff = eng.options.selectivity_cutoff
+        plan = sm._plan_snapshot(snap, opts, eng.options, None)
+        assert [s.kind for s in plan.sources] == ["flat_compact"]
+    finally:
+        snap.release()
+    q = tu.gaussian_vectors(4, D, seed=49)
+    elig = [i for i in range(1000) if i % 50 == 7]
+    _, ti = tu.brute_force_knn(q, x[elig], 5, "l2")
+    want = [[ids[elig[j]] for j in row] for row in ti]
+    for _ in range(2):  # second call reuses the cached plan + gathered state
+        got = [
+            [c.id for c in r] for r in eng.search_batch(q, k=5, filter=f)
+        ]
+        assert got == want
+    # a delete invalidates the cached plan (new lsn) and the gathered rows
+    eng.delete(want[0][0])
+    got = [[c.id for c in r] for r in eng.search_batch(q, k=5, filter=f)]
+    elig2 = [i for i in elig if ids[i] != want[0][0]]
+    _, ti2 = tu.brute_force_knn(q, x[elig2], 5, "l2")
+    assert got == [[ids[elig2[j]] for j in row] for row in ti2]
+
+
 def test_snapshot_isolation_under_churn():
     """reference: isolation_test.go TestConsistency_Churn (simplified)"""
     eng = new_engine()

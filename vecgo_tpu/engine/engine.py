@@ -97,6 +97,7 @@ class EngineOptions:
     lexical_device: str = "auto"  # "auto" | "off": MXU BM25 snapshot for batched hybrid at >=50k docs
     store_codes: Any = False  # persist ivfq.* codes for cloud serving: False | True/"sq8" | "pq" | "opq"
     selectivity_cutoff: float = 0.30
+    compact_gather_cutoff: float = 0.05  # <= this selectivity: gather eligible rows into a dense device sub-corpus (scan cost O(sel*N))
     lexical: bool = False  # BM25 over insert(text=...)
     observer: Any = None  # MetricsObserver
     logger: Any = None  # logging.Logger (reference: WithLogger/slog, engine.go:158)

@@ -126,6 +126,12 @@ class _Source:
     mask: Optional[np.ndarray]
     rows_considered: int
     n: int  # row count of the source
+    # Low-selectivity compact gather (flat segments): eligible rows gathered
+    # ONCE per plan into a dense device sub-corpus — the scan then costs
+    # O(selectivity * N) instead of a full masked sweep. (x16, rnorm2, rows
+    # map, all device-resident; built lazily by _dispatch_chunk and retained
+    # by the plan cache.)
+    compact: Optional[dict] = None
 
 
 @dataclass
@@ -200,7 +206,7 @@ def _plan_still_resident(plan: "_Plan", device_budget) -> bool:
         if src.seg_id < 0:
             continue
         seg = src.source
-        if src.kind in ("flat", "graph", "brute_masked"):
+        if src.kind in ("flat", "flat_compact", "graph", "brute_masked"):
             if not device_budget.admit(
                 ("seg", seg.seg_id), seg.device_bytes(), seg.release_device
             ):
@@ -270,6 +276,22 @@ def _plan_snapshot(snap, opts, options, device_budget) -> _Plan:
         plan.rows_considered += rows_c
         if isinstance(seg, FlatSegment):
             kind = "flat" if resident else "flat_stream"
+            if (
+                resident
+                and mask is not None
+                and seg.quant.kind == "none"
+                and 0
+                < rows_c
+                <= int(
+                    getattr(options, "compact_gather_cutoff", 0.05) * seg.n
+                )
+            ):
+                # Low-selectivity compact gather: eligible rows gather ONCE
+                # (per cached plan) into a dense device sub-corpus; the scan
+                # then costs O(sel * N) instead of a full masked sweep — this
+                # is why the reference's filtered QPS RISES as selectivity
+                # falls (search.go:286-311); ours now does too.
+                kind = "flat_compact"
             plan.n_brute += 1
         elif not resident:
             # Beyond-HBM graph segment: prefer the cluster-cached coded
@@ -349,6 +371,51 @@ def _dispatch_chunk(plan: _Plan, qd, opts, options, exact_k: int = 0):
                 qd, kk, mask=src.mask, nprobes=opts.nprobes,
                 scan_dtype=getattr(options, "flat_scan_dtype", "bf16"),
             )
+            dist_comps += b * src.rows_considered
+        elif src.kind == "flat_compact":
+            seg = src.source
+            kk = min(exact_k, src.rows_considered)
+            scan_dtype = getattr(options, "flat_scan_dtype", "bf16")
+            if src.compact is None:
+                dev = seg.device_state()
+                rows_elig = jnp.asarray(
+                    np.flatnonzero(src.mask).astype(np.int32)
+                )
+                x32 = jnp.take(dev["vectors"], rows_elig, axis=0)
+                src.compact = {
+                    "rows": rows_elig,
+                    "x32": x32,
+                    "x16": x32.astype(jnp.bfloat16),
+                    "rn": jnp.take(dev["rnorm2"], rows_elig),
+                }
+            cc = src.compact
+            n_sub = int(cc["x16"].shape[0])
+            if scan_dtype == "f32":
+                # Exact sub-corpus scan: honors the engine's full-precision
+                # profile (tight near-tie data overwhelms a bf16 pool margin).
+                d, lrows = T.blockwise_topk_search(
+                    qd, cc["x32"], kk, metric=metric, x_norms_sq=cc["rn"],
+                    block_rows=min(131072, n_sub), exact=True,
+                    x_normalized=True,
+                )
+                rows = jnp.where(
+                    lrows >= 0,
+                    jnp.take(cc["rows"], jnp.maximum(lrows, 0)),
+                    -1,
+                )
+            else:
+                _, lrows = T.blockwise_topk_search(
+                    qd, cc["x16"], min(kk + 8, n_sub), metric=metric,
+                    x_norms_sq=cc["rn"], block_rows=min(131072, n_sub),
+                    compute_dtype=jnp.bfloat16, x_normalized=True,
+                )
+                rows = jnp.where(
+                    lrows >= 0,
+                    jnp.take(cc["rows"], jnp.maximum(lrows, 0)),
+                    -1,
+                )
+                d = seg.rerank(qd, rows)  # exact f32-HIGHEST on device
+                d, rows = T.topk_smallest_with_ids(d, rows, kk)
             dist_comps += b * src.rows_considered
         elif src.kind == "flat_stream":
             seg = src.source
@@ -662,7 +729,10 @@ def search_snapshot(
         )
         jax.clear_caches()
         # Device arrays uploaded while the runtime was poisoned can be bad
-        # handles — release segment/memtable device state so it re-uploads.
+        # handles — release segment/memtable device state so it re-uploads
+        # (and drop cached plans, which may hold compact-gather device state).
+        if plan_cache is not None:
+            plan_cache.clear()
         for h in snap.segments:
             rel = getattr(h.segment, "release_device", None)
             if rel is not None:
