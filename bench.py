@@ -849,6 +849,9 @@ def phase_hybrid(results, curve, extras):
 
     log("hybrid: exact host BM25 path...")
     try:
+        # Pin the device snapshot OFF for this leg: lexical_device="auto"
+        # would otherwise build it at this corpus size.
+        eng.options.lexical_device = "off"
         eng.hybrid_search_batch(qb, qtexts, k=K)  # warm
         t0 = time.perf_counter()
         ids_exact, _ = eng.hybrid_search_batch(qb, qtexts, k=K)
@@ -863,6 +866,7 @@ def phase_hybrid(results, curve, extras):
 
     log("hybrid: device BM25 path (MXU lexical)...")
     try:
+        eng.options.lexical_device = "auto"
         # H=2048: the bf16 weight table is 200k x 2048 x 2 B = 819 MB — the
         # one-time upload rides the dev tunnel's ~16 MB/s sustained rate, and
         # the per-batch H2D is just the [B, 16] int32 term columns.
