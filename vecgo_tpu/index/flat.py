@@ -437,7 +437,8 @@ class FlatSegment(common.RowBlobAccess):
                 jnp.full((b, k), jnp.inf, jnp.float32),
                 jnp.full((b, k), -1, jnp.int32),
             )
-        bf16_rr = scan_dtype == "bf16" and self.quant.kind == "none"
+        pool_rr = self.quant.kind == "none"  # both profiles: pool + exact rerank
+        bf16_rr = scan_dtype == "bf16" and pool_rr
         dev = self.device_state()
         extra = None
         if (
@@ -453,7 +454,7 @@ class FlatSegment(common.RowBlobAccess):
             extra = {"probes": probes.astype(jnp.int32)}
         dmask = jnp.asarray(mask) if mask is not None else None
         enc = dev
-        if not bf16_rr:
+        if not pool_rr:
             return topk_ops.blockwise_topk_scored(
                 q,
                 enc,
@@ -464,13 +465,18 @@ class FlatSegment(common.RowBlobAccess):
                 extra=extra,
                 block_rows=block_rows,
             )
-        kp = min(self.n, k + 8)  # pool margin absorbs bf16 ranking noise
+        # Pool scan + exact f32-HIGHEST rerank, both profiles. bf16 needs the
+        # margin for its ranking noise; the f32-HIGH scan needs it too on
+        # tie-heavy data (its ~1e-6 relative matmul error still scrambles
+        # exact ties — measured on the suite's 'correlated' fixture, where
+        # the unreranked f32 profile plateaued at 0.967 filtered recall).
+        kp = min(self.n, k + 8)
         _, rows = topk_ops.blockwise_topk_scored(
             q,
             enc,
             self.n,
             kp,
-            self._scorer("bf16"),
+            self._scorer("bf16" if bf16_rr else "f32"),
             mask=dmask,
             extra=extra,
             block_rows=block_rows,
