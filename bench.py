@@ -1348,16 +1348,22 @@ def main(results, curve, extras):
 
 
 def _emit(results, curve, extras):
-    # frontier summary: best QPS at each recall tier, across all paths
+    # frontier summary: best QPS at each recall tier. FILTERED points scan
+    # only sel*N rows — they stay in the curve/extras but are excluded from
+    # the full-corpus headline and frontier tiers.
+    full = [c for c in curve if not c["path"].startswith("filtered")]
     for tier, key in ((0.95, "best_qps_at_95"), (0.97, "best_qps_at_97"),
                       (0.99, "best_qps_at_99")):
-        pts = [c for c in curve if c["recall"] >= tier]
+        pts = [c for c in full if c["recall"] >= tier]
         if pts:
             b = max(pts, key=lambda c: c["qps"])
             extras[key] = b["qps"]
             extras[key + "_path"] = b["path"]
     if curve:
         extras["curve"] = sorted(curve, key=lambda c: -c["qps"])
+    results = {
+        k: v for k, v in results.items() if not k.startswith("filtered")
+    } or results
     ok = {k: v for k, v in results.items() if v[1] >= 0.95} or results
     if ok:
         name, (qps, rec) = max(ok.items(), key=lambda kv: kv[1][0])
