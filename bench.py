@@ -1186,6 +1186,43 @@ def phase_vamana(results, curve, extras):
         log(f"streaming phase failed: {e!r}")
         extras["stream_error"] = repr(e)
 
+    # PQ transport: d/4 B/row H2D (~3.6x less than SQ8) + 4x pool + exact
+    # host rerank (the engine's stream_transport="pq" path).
+    try:
+        from vecgo_tpu.index.common import pq_stream_state, rerank_host_rows
+
+        log("pq-transport streaming phase...")
+        enc_pq, sfn_pq = pq_stream_state(x, Metric.L2)
+        rn_host_s = np.einsum("nd,nd->n", x, x, dtype=np.float64).astype(
+            np.float32
+        )
+
+        def stream_pq_once():
+            _, rows_p = TT.streaming_topk_scored(
+                qs_small, enc_pq, N, 4 * K, sfn_pq
+            )
+            de = rerank_host_rows(qs_small, rows_p, x, rn_host_s, Metric.L2)
+            si = np.argsort(np.asarray(de), axis=1)[:, :K]
+            return np.take_along_axis(np.asarray(rows_p), si, axis=1)
+
+        ids_p = stream_pq_once()
+        rec_p = sum(
+            len(set(map(int, ids_p[b])) & set(map(int, gt_i[b])))
+            for b in range(256)
+        ) / (256 * K)
+        t0 = time.perf_counter()
+        stream_pq_once()
+        dt = time.perf_counter() - t0
+        extras["stream_pq_qps"] = round(256 / dt, 1)
+        extras["stream_pq_recall"] = round(rec_p, 4)
+        extras["stream_pq_pass_s"] = round(dt, 2)
+        extras["stream_pq_h2d_mb_per_pass"] = round(
+            sum(a[:N].nbytes for a in enc_pq.values()) / 1e6, 1
+        )
+    except Exception as e:  # noqa: BLE001
+        log(f"pq streaming phase failed: {e!r}")
+        extras["stream_pq_error"] = repr(e)
+
     # ---------------- beyond-HBM cluster-cached coded serving --------------
     # The cloud/cache tier (ops/ivf_cache): a fixed 256-cluster device cache
     # (~1/4 of the table's HBM at 1M) over a host-resident coded table under
@@ -1385,7 +1422,48 @@ def _emit(results, curve, extras):
             "best_path": "none",
             **extras,
         }
-    print(json.dumps(out), flush=True)
+    # The driver keeps only a 2000-byte TAIL of stdout and json-parses it
+    # (BENCH_r04 lost its parse to a >2000-byte line). Persist the FULL
+    # payload to docs/BENCH_FULL.json, then print a compact line that is
+    # guaranteed to fit the tail window: headline fields + a priority-ordered
+    # subset of extras, trimmed until the encoded line is < 1800 bytes.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "docs", "BENCH_FULL.json"), "w") as f:
+            json.dump(out, f, indent=1)
+        log("full bench payload -> docs/BENCH_FULL.json")
+    except OSError as e:
+        log(f"could not write docs/BENCH_FULL.json: {e!r}")
+    head = ["metric", "value", "unit", "vs_baseline", "best_path", "recall@10"]
+    prio = [
+        "best_qps_at_95", "best_qps_at_97", "best_qps_at_99",
+        "best_qps_at_95_path", "best_qps_at_99_path",
+        "flat_rr_qps", "flat_rr_recall", "flat_bf16_qps", "flat_bf16_recall",
+        "vamana_qps", "vamana_recall",
+        "engine_flat_qps", "engine_flat_recall", "engine_stream_qps",
+        "commit_s",
+        "engine_graph_qps", "engine_graph_recall", "engine_graph_stream_qps",
+        "filtered_vs_ref@1pct", "filtered_vs_ref@10pct",
+        "filtered_vs_ref@50pct",
+        "filtered_uniform@1pct_qps", "filtered_uniform@1pct_stream_qps",
+        "filtered_uniform@1pct_recall", "filtered_uniform@50pct_qps",
+        "filtered_uniform@50pct_recall",
+        "hybrid_device_qps", "hybrid_device_vs_ref", "hybrid_exact_qps",
+        "lexical_device_qps",
+        "ingest_vps", "ingest_vs_go_deferred", "build_s", "build_vps",
+        "build_vs_go_hnsw",
+        "stream_qps", "stream_pq_qps", "cached_qps", "cached_recall",
+        "link_rtt_ms",
+        "n", "d", "batch", "device",
+    ] + sorted(k for k in extras if k.endswith("_error"))
+    compact = {k: out[k] for k in head if k in out}
+    compact["full"] = "docs/BENCH_FULL.json"
+    for k in prio:
+        if k in out and k not in compact:
+            compact[k] = out[k]
+            if len(json.dumps(compact)) > 1800:
+                del compact[k]
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":
