@@ -129,6 +129,37 @@ def test_filtering_equivalence():
     assert r_post == want
 
 
+def test_plan_cache_reuse_and_invalidation():
+    """The (snapshot, filter) plan cache must serve the SAME plan object
+    across repeated batches on an unchanged snapshot, and must never serve a
+    stale plan after a write (keys embed lsn/version) or after vacuum/compact
+    (explicit clear)."""
+    eng = new_engine()
+    x = tu.gaussian_vectors(600, D, seed=140)
+    mds = [{"cat": f"c{i % 3}"} for i in range(600)]
+    ids = eng.insert_batch(x, mds)
+    eng.commit()
+    q = tu.gaussian_vectors(2, D, seed=141)
+    f = eq("cat", "c1")
+    eng.search_batch(q, k=5, filter=f)
+    cached = list(eng._plan_cache._d.items())
+    assert len(cached) >= 1
+    key0, plan0 = cached[-1]
+    eng.search_batch(q, k=5, filter=f)
+    assert eng._plan_cache._d[key0] is plan0  # hit, not a rebuild
+    # a write bumps the lsn -> different key; results reflect the new row
+    xin = x[7:8] + 1e-4
+    new_id = eng.insert(xin[0], {"cat": "c1"})
+    got = [c.id for c in eng.search_batch(xin, k=1, filter=f)[0]]
+    assert got == [new_id]
+    assert any(k != key0 for k in eng._plan_cache._d)
+    # unfiltered searches cache under a no-filter key too
+    eng.search_batch(q, k=5)
+    eng.commit()
+    eng.compact()
+    assert len(eng._plan_cache._d) == 0  # compaction clears the cache
+
+
 def test_filtered_compact_gather_low_selectivity():
     """Below compact_gather_cutoff the planner gathers eligible rows into a
     dense device sub-corpus (kind flat_compact) — results must equal brute

@@ -96,6 +96,7 @@ class EngineOptions:
     serve_ivf_min_n: int = 4096  # min rows for a coded IVF serving table (below: pure graph walk)
     lexical_device: str = "auto"  # "auto" | "off": MXU BM25 snapshot for batched hybrid at >=50k docs
     store_codes: Any = False  # persist ivfq.* codes for cloud serving: False | True/"sq8" | "pq" | "opq"
+    stream_transport: str = "sq8"  # beyond-HBM stream coding: "sq8" (1 B/dim) | "pq" (d/4 B/row, 4x-pooled exact rerank)
     selectivity_cutoff: float = 0.30
     compact_gather_cutoff: float = 0.05  # <= this selectivity: gather eligible rows into a dense device sub-corpus (scan cost O(sel*N))
     lexical: bool = False  # BM25 over insert(text=...)

@@ -422,12 +422,15 @@ def _dispatch_chunk(plan: _Plan, qd, opts, options, exact_k: int = 0):
             if seg.quant.kind == "none" and not (
                 seg.ivf_centroids is not None and opts.nprobes > 0
             ):
-                # Unquantized beyond-HBM flat segment: stream SQ8 codes
-                # (1 byte/dim H2D, 4x less than f32) + exact host rerank
-                # below — same economics as the graph_stream path.
-                enc_host, sfn = seg.stream_state()
+                # Unquantized beyond-HBM flat segment: stream coded rows
+                # (SQ8 = 1 byte/dim H2D, 4x less than f32; PQ = d/4 bytes/row,
+                # ~3.6x less again but coarser, so pool 4x) + exact host
+                # rerank below — same economics as the graph_stream path.
+                transport = options.stream_transport
+                enc_host, sfn = seg.stream_state(transport)
+                kks = min(src.n, 4 * kk) if transport == "pq" else kk
                 d, rows = T.streaming_topk_scored(
-                    qd, enc_host, seg.n, kk, sfn, mask=src.mask,
+                    qd, enc_host, seg.n, kks, sfn, mask=src.mask,
                 )
                 stream_rerank = True
             else:
@@ -451,14 +454,16 @@ def _dispatch_chunk(plan: _Plan, qd, opts, options, exact_k: int = 0):
             stream_rerank = True
             dist_comps += b * kk2
         elif src.kind == "graph_stream":
-            # Beyond-HBM graph segment: streaming scan over host-resident SQ8
-            # codes (1 byte/dim H2D instead of 4 — quantization IS the
-            # beyond-memory story, as in the reference); winners get an exact
-            # host rerank below.
+            # Beyond-HBM graph segment: streaming scan over host-resident
+            # coded rows (SQ8 = 1 byte/dim H2D instead of 4; PQ = d/4
+            # bytes/row, pooled 4x — quantization IS the beyond-memory story,
+            # as in the reference); winners get an exact host rerank below.
             seg = src.source
-            enc_host, sfn = seg.stream_state()
+            transport = options.stream_transport
+            enc_host, sfn = seg.stream_state(transport)
+            kks = min(src.n, 4 * kk) if transport == "pq" else kk
             d, rows = T.streaming_topk_scored(
-                qd, enc_host, seg.n, kk, sfn, mask=src.mask,
+                qd, enc_host, seg.n, kks, sfn, mask=src.mask,
             )
             dist_comps += b * src.rows_considered
         elif src.kind == "brute_masked":

@@ -376,3 +376,35 @@ def sq8_stream_state(vectors: np.ndarray, metric):
         return q8.score(q, blk, metric)
 
     return enc, score_fn
+
+
+def pq_stream_state(vectors: np.ndarray, metric, m: int = 0):
+    """(enc_host, score_fn) for beyond-HBM streaming over PQ codes: d/4 bytes
+    per row (m = d/4 subspaces, 1 byte each) + a 4-byte reconstruction norm —
+    ~3.6x less H2D than the SQ8 transport at d=128, the same economics as the
+    `store_codes="pq"` cloud tier (ops/ivf_cache). The coded ordering is
+    coarser than SQ8 (~4x the residual error), so callers MUST pool ~4x the
+    final k and exact-rerank from host rows (engine/search.py widens kk for
+    transport="pq"; reference analogue: RefineFactor over PQ beam distances,
+    diskann/segment.go:503-708).
+
+    Scoring is the gather-free decode-matmul (quantization/pq.py): block codes
+    one-hot-decode to bf16 reconstructions on the MXU, then the standard
+    norm-expanded matmul — decode FLOPs are amortized over the query batch and
+    the stream stays H2D-bound, which is the point.
+    """
+    from vecgo_tpu import quantization as Q
+
+    n, d = vectors.shape
+    m = m or max(4, d // 4)
+    pq = Q.create("pq", dim=d, m=m)
+    pq.train(np.asarray(vectors[:: max(1, n // 65536)], np.float32))
+    enc = {
+        k: np.asarray(v)
+        for k, v in pq.encode(np.asarray(vectors, np.float32)).items()
+    }
+
+    def score_fn(q, extra, blk):
+        return pq.score(q, blk, metric)
+
+    return enc, score_fn

@@ -349,15 +349,23 @@ class FlatSegment(common.RowBlobAccess):
 
         return rerank_host_rows(q, rows, self.vectors, self.rnorm2, self.metric)
 
-    def stream_state(self):
-        """SQ8 codes + scorer for beyond-HBM streaming of UNQUANTIZED flat
-        segments (quantized ones already stream their own codes via
-        search_streaming); see common.sq8_stream_state."""
-        if getattr(self, "_stream", None) is None:
-            self._stream = common.sq8_stream_state(
-                self.vectors, self.metric.compute()
+    def stream_state(self, transport: str = "sq8"):
+        """Coded transport + scorer for beyond-HBM streaming of UNQUANTIZED
+        flat segments (quantized ones already stream their own codes via
+        search_streaming). transport="sq8" ships 1 B/dim; "pq" ships d/4 B/row
+        (coarser — callers pool ~4x and exact-rerank; engine/search.py does).
+        See common.sq8_stream_state / pq_stream_state."""
+        cache = getattr(self, "_streams", None)
+        if cache is None:
+            cache = self._streams = {}
+        if transport not in cache:
+            mk = (
+                common.pq_stream_state
+                if transport == "pq"
+                else common.sq8_stream_state
             )
-        return self._stream
+            cache[transport] = mk(self.vectors, self.metric.compute())
+        return cache[transport]
 
     def _scorer(self, scan_dtype: str = "f32"):
         """Stable score_fn closure (same object across calls -> jit cache hits).

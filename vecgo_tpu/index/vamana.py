@@ -784,16 +784,23 @@ class VamanaSegment(common.RowBlobAccess):
         crows = crows[:, :k] if crows.shape[1] > k else crows
         return cd, jnp.where(jnp.isfinite(cd), crows, -1)
 
-    def stream_state(self):
-        """Host-resident SQ8 codes + scorer for beyond-HBM STREAMING search:
-        row blocks upload 1 byte/dim instead of 4 (the reference's
-        "beyond-RAM via compression" axis, README.md quantization table;
-        VERDICT r2 weak #8). Winners get an exact host rerank downstream."""
+    def stream_state(self, transport: str = "sq8"):
+        """Host-resident coded transport + scorer for beyond-HBM STREAMING
+        search: transport="sq8" uploads 1 byte/dim instead of 4 (the
+        reference's "beyond-RAM via compression" axis, README.md quantization
+        table; VERDICT r2 weak #8); "pq" uploads d/4 bytes/row (~3.6x less
+        again — callers pool ~4x and exact-rerank downstream, which
+        engine/search.py does)."""
         if self._stream is None:
-            self._stream = common.sq8_stream_state(
-                self.vectors, self.metric.compute()
+            self._stream = {}
+        if transport not in self._stream:
+            mk = (
+                common.pq_stream_state
+                if transport == "pq"
+                else common.sq8_stream_state
             )
-        return self._stream
+            self._stream[transport] = mk(self.vectors, self.metric.compute())
+        return self._stream[transport]
 
     def search(
         self,
