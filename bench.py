@@ -333,7 +333,11 @@ def phase_flat(results, curve, extras):
             block_rows=min(131072, N),
         )
 
-    def flat_rr(queries):
+    @jax.jit
+    def _flat_rr_fused(queries, xb16, xd, rnorm2):
+        # ONE device program: scan + exact rerank + final top-k (the staged
+        # 3-dispatch chain paid ~2 extra tunnel rounds per batch; bench r4
+        # measured flat_rr 26 ms vs flat_bf16 13.3 ms at the same scan).
         _, rows = T.blockwise_topk_search(
             queries, xb16, K + 8, metric=Metric.L2, x_norms_sq=rnorm2,
             block_rows=min(131072, N), compute_dtype=jnp.bfloat16,
@@ -341,10 +345,14 @@ def phase_flat(results, curve, extras):
         dd = _rerank_jit()(queries, rows, xd, rnorm2)
         return T.topk_smallest_with_ids(dd, rows, K)
 
+    def flat_rr(queries):
+        return _flat_rr_fused(queries, xb16, xd, rnorm2)
+
     for name, fn in (
         ("flat_bf16", flat16), ("flat_rr", flat_rr), ("flat_f32", flat32),
     ):
         try:
+            log(f"flat variant {name}...")
             _, ids = fn(qd)
             rec = recall(np.asarray(ids))
             dt = _timed(lambda: fn(qb)[1])
@@ -1328,39 +1336,56 @@ def _run_phase_inline(name):
 
 
 def _orchestrate(results, curve, extras):
-    """Run each phase in its own subprocess; merge their JSON payloads."""
+    """Run each phase in its own subprocess; merge their JSON payloads.
+
+    One RETRY per phase that produced no results: the dev tunnel's backend
+    init intermittently hangs (jax.devices() never returns — ROADMAP
+    runtime-bug #4; observed again 2026-08-21: phase flat wedged for its
+    full 900 s, then the identical phase completed in 150 s on a fresh
+    process). A fresh subprocess is the containment, so give each phase one.
+    """
     for name in _phase_list():
         _, timeout_s = PHASES[name]
-        log(f"=== phase {name} (subprocess) ===")
-        t0 = time.perf_counter()
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--phase", name],
-                capture_output=True, text=True, timeout=timeout_s,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            sys.stderr.write(r.stderr[-6000:])
-            payload = None
-            if r.stdout.strip():
-                try:
-                    payload = json.loads(r.stdout.strip().splitlines()[-1])
-                except ValueError:
-                    payload = None
-            if payload is not None:
-                # merge whatever the child collected, even on rc != 0
-                for k, v in payload.get("results", {}).items():
-                    results[k] = tuple(v)
-                curve.extend(payload.get("curve", []))
-                extras.update(payload.get("extras", {}))
-            if r.returncode != 0 and f"{name}_error" not in extras:
-                extras[f"{name}_error"] = f"rc={r.returncode}: " + (
-                    r.stderr.strip().splitlines()[-1] if r.stderr.strip() else ""
+        for attempt in (1, 2):
+            log(f"=== phase {name} (subprocess, attempt {attempt}) ===")
+            t0 = time.perf_counter()
+            got_payload = False
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--phase",
+                     name],
+                    capture_output=True, text=True, timeout=timeout_s,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
-        except subprocess.TimeoutExpired:
-            extras[f"{name}_error"] = f"timeout after {timeout_s}s"
-        except Exception as e:  # noqa: BLE001
-            extras[f"{name}_error"] = repr(e)
-        extras[f"{name}_phase_s"] = round(time.perf_counter() - t0, 1)
+                sys.stderr.write(r.stderr[-6000:])
+                payload = None
+                if r.stdout.strip():
+                    try:
+                        payload = json.loads(r.stdout.strip().splitlines()[-1])
+                    except ValueError:
+                        payload = None
+                if payload is not None:
+                    # merge whatever the child collected, even on rc != 0
+                    for k, v in payload.get("results", {}).items():
+                        results[k] = tuple(v)
+                    curve.extend(payload.get("curve", []))
+                    extras.update(payload.get("extras", {}))
+                    got_payload = r.returncode == 0
+                if r.returncode != 0 and f"{name}_error" not in extras:
+                    extras[f"{name}_error"] = f"rc={r.returncode}: " + (
+                        r.stderr.strip().splitlines()[-1]
+                        if r.stderr.strip() else ""
+                    )
+            except subprocess.TimeoutExpired:
+                extras[f"{name}_error"] = f"timeout after {timeout_s}s"
+            except Exception as e:  # noqa: BLE001
+                extras[f"{name}_error"] = repr(e)
+            extras[f"{name}_phase_s"] = round(time.perf_counter() - t0, 1)
+            if got_payload:
+                if attempt == 2:
+                    extras[f"{name}_attempts"] = 2
+                break
+            log(f"phase {name} produced no payload (attempt {attempt})")
 
 
 def main(results, curve, extras):

@@ -478,19 +478,24 @@ class FlatSegment(common.RowBlobAccess):
         # tie-heavy data (its ~1e-6 relative matmul error still scrambles
         # exact ties — measured on the suite's 'correlated' fixture, where
         # the unreranked f32 profile plateaued at 0.967 filtered recall).
+        # FUSED into one device program (scan+rerank+topk): the staged
+        # 3-dispatch chain paid ~2 extra tunnel rounds per batch (bench r4:
+        # flat_rr 26 ms vs flat_bf16 13.3 ms at 1M x 4096).
         kp = min(self.n, k + 8)
-        _, rows = topk_ops.blockwise_topk_scored(
+        return topk_ops.blockwise_scored_pool_rerank(
             q,
             enc,
             self.n,
-            kp,
+            k,
             self._scorer("bf16" if bf16_rr else "f32"),
+            self._rerank_body(),
+            dev.get("vectors"),
+            dev.get("rnorm2"),
+            pool=kp,
             mask=dmask,
             extra=extra,
             block_rows=block_rows,
         )
-        d = self.rerank(q, rows)  # exact f32-HIGHEST, on device
-        return topk_ops.topk_smallest_with_ids(d, rows, k)
 
     def search_streaming(
         self,
@@ -554,34 +559,48 @@ class FlatSegment(common.RowBlobAccess):
         full = dev.get("vectors")
         rn = dev.get("rnorm2")
         if self._rerank_fn is None:
-            metric = self.metric.compute()
-
-            def _rr(q, rows, full, rn):
-                safe = jnp.maximum(rows, 0)
-                v = jnp.take(full, safe, axis=0)  # [B, C, d]
-                qf = q.astype(jnp.float32)
-                if metric == Metric.COSINE:
-                    from vecgo_tpu.ops import distance as D
-
-                    qf = D.normalize(qf)
-                prod = jnp.einsum(
-                    "bcd,bd->bc",
-                    v.astype(jnp.float32),
-                    qf,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                if metric == Metric.L2:
-                    qn = jnp.sum(qf * qf, axis=-1, keepdims=True)
-                    d = qn + jnp.take(rn, safe, axis=0) - 2.0 * prod
-                    d = jnp.maximum(d, 0.0)
-                elif metric == Metric.DOT:
-                    d = -prod
-                else:  # cosine over normalized storage
-                    d = 1.0 - prod
-                return jnp.where(rows >= 0, d, jnp.inf)
-
-            self._rerank_fn = jax.jit(_rr)
+            self._rerank_fn = jax.jit(self._rerank_body())
         return self._rerank_fn(q, rows, full, rn)
+
+    def _rerank_body(self):
+        """UNJITTED exact-rerank body (q, rows, full, rn) -> [B, C] f32.
+        Shared by rerank() (jitted standalone) and the fused
+        scan+rerank+topk program in search() — stable per segment so both
+        hit their jit caches."""
+        fn = getattr(self, "_rerank_body_fn", None)
+        if fn is not None:
+            return fn
+        import jax
+        import jax.numpy as jnp
+
+        metric = self.metric.compute()
+
+        def _rr(q, rows, full, rn):
+            safe = jnp.maximum(rows, 0)
+            v = jnp.take(full, safe, axis=0)  # [B, C, d]
+            qf = q.astype(jnp.float32)
+            if metric == Metric.COSINE:
+                from vecgo_tpu.ops import distance as D
+
+                qf = D.normalize(qf)
+            prod = jnp.einsum(
+                "bcd,bd->bc",
+                v.astype(jnp.float32),
+                qf,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            if metric == Metric.L2:
+                qn = jnp.sum(qf * qf, axis=-1, keepdims=True)
+                d = qn + jnp.take(rn, safe, axis=0) - 2.0 * prod
+                d = jnp.maximum(d, 0.0)
+            elif metric == Metric.DOT:
+                d = -prod
+            else:  # cosine over normalized storage
+                d = 1.0 - prod
+            return jnp.where(rows >= 0, d, jnp.inf)
+
+        self._rerank_body_fn = _rr
+        return _rr
 
     # ---------------- host access ----------------
 

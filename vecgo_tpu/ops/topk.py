@@ -216,6 +216,66 @@ def _blockwise_scored_jit(q, enc, mask, extra, score_fn, k, block_rows, n_valid)
     return d_fin, i_fin
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "score_fn", "rr_fn", "k", "pool", "block_rows", "n_valid", "pad",
+    ),
+)
+def _scored_pool_rerank_jit(
+    q, enc, mask, extra, full, rn,
+    score_fn, rr_fn, k, pool, block_rows, n_valid, pad,
+):
+    """FUSED pool-scan + exact rerank + final top-k as ONE device program.
+
+    The staged composition (scan jit -> rerank jit -> topk jit) pays a
+    dispatch round per program; on the dev tunnel each costs ~3-5 ms, which
+    at 1M x 128 made the rr profile ~2x the raw scan (26 vs 13.3 ms/4096 —
+    bench flat_rr vs flat_bf16, r4). The inner jitted callees inline here,
+    so callers get one executable per (shape, statics) and one dispatch.
+    Tail padding to the block multiple happens IN-TRACE (static `pad`) — an
+    eager per-call jnp.pad of corpus-sized arrays is itself a dispatch per
+    array. rr_fn(q, rows, full, rn) -> exact [B, pool] distances (inf for
+    -1 rows).
+    """
+    if pad:
+        enc = {
+            k_: jnp.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
+            for k_, v in enc.items()
+        }
+        if mask is not None:
+            mask = jnp.pad(mask, (0, pad))
+    _, rows = _blockwise_scored_jit(
+        q, enc, mask, extra, score_fn, pool, block_rows, n_valid
+    )
+    d = rr_fn(q, rows, full, rn)
+    return topk_smallest_with_ids(d, rows, k)
+
+
+def blockwise_scored_pool_rerank(
+    q,
+    enc: dict,
+    n: int,
+    k: int,
+    score_fn,
+    rr_fn,
+    full,
+    rn,
+    *,
+    pool: int,
+    mask=None,
+    extra=None,
+    block_rows: int = 8192,
+):
+    """Fused-program wrapper around _scored_pool_rerank_jit (same padding
+    contract as blockwise_topk_scored; pass STABLE score_fn/rr_fn objects)."""
+    block_rows = max(128, min(block_rows, n))
+    return _scored_pool_rerank_jit(
+        q, enc, mask, extra, full, rn,
+        score_fn, rr_fn, k, pool, block_rows, n, (-n) % block_rows,
+    )
+
+
 def blockwise_topk_scored(
     q,
     enc: dict,
