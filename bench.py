@@ -1194,24 +1194,35 @@ def phase_vamana(results, curve, extras):
         log(f"streaming phase failed: {e!r}")
         extras["stream_error"] = repr(e)
 
-    # PQ transport: d/4 B/row H2D (~3.6x less than SQ8) + 4x pool + exact
-    # host rerank (the engine's stream_transport="pq" path).
+    # PQ transport: d/2 B/row H2D (~1.9x less than SQ8) + 128-wide pool +
+    # exact HOST-numpy rerank (zero H2D — the candidate tile never uploads;
+    # the engine's stream_transport="pq" path). m/pool from the measured
+    # selection screen (scripts/probe_pq_stream.py: m=d/2 pool 128 ->
+    # recall 1.0 at 1M; m=d/4 would need a 512-pool for 0.991).
     try:
-        from vecgo_tpu.index.common import pq_stream_state, rerank_host_rows
+        from vecgo_tpu.index.common import pq_stream_state
 
         log("pq-transport streaming phase...")
         enc_pq, sfn_pq = pq_stream_state(x, Metric.L2)
         rn_host_s = np.einsum("nd,nd->n", x, x, dtype=np.float64).astype(
             np.float32
         )
+        q_np = np.asarray(q_all[:256])
+        pool_pq = max(4 * K, 128)
 
         def stream_pq_once():
             _, rows_p = TT.streaming_topk_scored(
-                qs_small, enc_pq, N, 4 * K, sfn_pq
+                qs_small, enc_pq, N, pool_pq, sfn_pq
             )
-            de = rerank_host_rows(qs_small, rows_p, x, rn_host_s, Metric.L2)
-            si = np.argsort(np.asarray(de), axis=1)[:, :K]
-            return np.take_along_axis(np.asarray(rows_p), si, axis=1)
+            rows_p = np.asarray(rows_p)
+            safe = np.maximum(rows_p, 0)
+            v = x[safe]  # [B, pool, d] host gather — no device round-trip
+            prod = np.einsum("bcd,bd->bc", v, q_np, dtype=np.float64)
+            qn = np.einsum("bd,bd->b", q_np, q_np, dtype=np.float64)
+            de = qn[:, None] + rn_host_s[safe] - 2.0 * prod
+            de = np.where(rows_p >= 0, de, np.inf)
+            si = np.argsort(de, axis=1)[:, :K]
+            return np.take_along_axis(rows_p, si, axis=1)
 
         ids_p = stream_pq_once()
         rec_p = sum(

@@ -428,7 +428,10 @@ def _dispatch_chunk(plan: _Plan, qd, opts, options, exact_k: int = 0):
                 # rerank below — same economics as the graph_stream path.
                 transport = options.stream_transport
                 enc_host, sfn = seg.stream_state(transport)
-                kks = min(src.n, 4 * kk) if transport == "pq" else kk
+                # PQ transport orders coarsely: pool >= 128 before the exact
+                # rerank (measured: m=d/2 pool 128 -> recall 1.0 at 1M,
+                # probe_pq_stream.py).
+                kks = min(src.n, max(4 * kk, 128)) if transport == "pq" else kk
                 d, rows = T.streaming_topk_scored(
                     qd, enc_host, seg.n, kks, sfn, mask=src.mask,
                 )
@@ -461,7 +464,8 @@ def _dispatch_chunk(plan: _Plan, qd, opts, options, exact_k: int = 0):
             seg = src.source
             transport = options.stream_transport
             enc_host, sfn = seg.stream_state(transport)
-            kks = min(src.n, 4 * kk) if transport == "pq" else kk
+            # see flat_stream: PQ transport pools >= 128 for the exact rerank
+            kks = min(src.n, max(4 * kk, 128)) if transport == "pq" else kk
             d, rows = T.streaming_topk_scored(
                 qd, enc_host, seg.n, kks, sfn, mask=src.mask,
             )

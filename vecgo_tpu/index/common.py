@@ -379,14 +379,22 @@ def sq8_stream_state(vectors: np.ndarray, metric):
 
 
 def pq_stream_state(vectors: np.ndarray, metric, m: int = 0):
-    """(enc_host, score_fn) for beyond-HBM streaming over PQ codes: d/4 bytes
-    per row (m = d/4 subspaces, 1 byte each) + a 4-byte reconstruction norm —
-    ~3.6x less H2D than the SQ8 transport at d=128, the same economics as the
-    `store_codes="pq"` cloud tier (ops/ivf_cache). The coded ordering is
-    coarser than SQ8 (~4x the residual error), so callers MUST pool ~4x the
-    final k and exact-rerank from host rows (engine/search.py widens kk for
+    """(enc_host, score_fn) for beyond-HBM streaming over PQ codes: d/2 bytes
+    per row (m = d/2 subspaces, 1 byte each) + a 4-byte reconstruction norm —
+    ~1.9x less H2D than the SQ8 transport at d=128, the same economics family
+    as the `store_codes="pq"` cloud tier (ops/ivf_cache). The coded ordering
+    is coarser than SQ8, so callers MUST pool >= ~128 candidates and
+    exact-rerank from host rows (engine/search.py widens kk for
     transport="pq"; reference analogue: RefineFactor over PQ beam distances,
     diskann/segment.go:503-708).
+
+    m is chosen from a measured selection-quality screen on the 1M bench
+    corpus (scripts/probe_pq_stream.py, TPU, 2026-08-21):
+        m=d/4 (36 B/row): pool 128 -> recall 0.760, pool 512 -> 0.991
+        m=d/2 (68 B/row): pool  40 -> recall 0.974, pool 128 -> 1.000
+    d/4 transport needs a 512-wide pool to clear 0.99 — the pool's rerank
+    traffic and merge cost eat the savings — so d/2 + pool 128 is the
+    default; pass m explicitly for the aggressive variant.
 
     Scoring is the gather-free decode-matmul (quantization/pq.py): block codes
     one-hot-decode to bf16 reconstructions on the MXU, then the standard
@@ -396,7 +404,7 @@ def pq_stream_state(vectors: np.ndarray, metric, m: int = 0):
     from vecgo_tpu import quantization as Q
 
     n, d = vectors.shape
-    m = m or max(4, d // 4)
+    m = m or max(4, d // 2)
     pq = Q.create("pq", dim=d, m=m)
     pq.train(np.asarray(vectors[:: max(1, n // 65536)], np.float32))
     enc = {

@@ -352,8 +352,8 @@ class FlatSegment(common.RowBlobAccess):
     def stream_state(self, transport: str = "sq8"):
         """Coded transport + scorer for beyond-HBM streaming of UNQUANTIZED
         flat segments (quantized ones already stream their own codes via
-        search_streaming). transport="sq8" ships 1 B/dim; "pq" ships d/4 B/row
-        (coarser — callers pool ~4x and exact-rerank; engine/search.py does).
+        search_streaming). transport="sq8" ships 1 B/dim; "pq" ships d/2 B/row
+        (coarser — callers pool >=128 and exact-rerank; engine/search.py does).
         See common.sq8_stream_state / pq_stream_state."""
         cache = getattr(self, "_streams", None)
         if cache is None:

@@ -788,8 +788,8 @@ class VamanaSegment(common.RowBlobAccess):
         """Host-resident coded transport + scorer for beyond-HBM STREAMING
         search: transport="sq8" uploads 1 byte/dim instead of 4 (the
         reference's "beyond-RAM via compression" axis, README.md quantization
-        table; VERDICT r2 weak #8); "pq" uploads d/4 bytes/row (~3.6x less
-        again — callers pool ~4x and exact-rerank downstream, which
+        table; VERDICT r2 weak #8); "pq" uploads d/2 bytes/row (~1.9x less
+        again — callers pool >=128 and exact-rerank downstream, which
         engine/search.py does)."""
         if self._stream is None:
             self._stream = {}
