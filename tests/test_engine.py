@@ -7,7 +7,7 @@ import pytest
 from vecgo_tpu.blobstore import MemoryStore, FaultyStore
 from vecgo_tpu.engine import Engine, EngineOptions
 from vecgo_tpu.errors import ErrConflict, ErrNotFound, ErrReadOnly, ErrInvalidVector
-from vecgo_tpu.metadata import eq, gt, Schema, FieldSpec, FieldType
+from vecgo_tpu.metadata import eq, gt, isin, Schema, FieldSpec, FieldType
 from vecgo_tpu.model import Metric
 from vecgo_tpu.utils import testutil as tu
 
@@ -101,6 +101,34 @@ def test_delete_across_commit_and_compaction():
     assert all(c.id != ids[0] for c in res)
     # tombstoned row physically dropped
     assert eng._segments[0].segment.n == 199
+
+
+def test_filtered_recall_exact_on_wide_masked_corpus():
+    """Regression (r5): approx_min_k's binned selection loses entries on
+    inf-sparse rows — a 90%-masked scan at rt=0.99 dropped a true rank-5
+    neighbor from the pool (suite 'correlated' @10pct recall 0.9859). The
+    masked path now runs a tighter recall target + a >=64-wide pool; filtered
+    results must equal exact brute force. Corpus must be wider than the
+    approx_min_k engagement width (16384) or the test exercises lax.top_k."""
+    n = 30_000
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((n, D)).astype(np.float32)
+    x[:, 0] += np.arange(n) / n * 10  # position-correlated geometry
+    cats = (np.arange(n) * 100 // n).astype(np.int64)  # contiguous categories
+    eng = new_engine(flush_threshold=10**9)
+    ids = eng.insert_batch(x, [{"cat": int(c)} for c in cats])
+    eng.commit()
+    q = x[rng.integers(0, n, 16)] + 0.05 * rng.standard_normal(
+        (16, D)
+    ).astype(np.float32)
+    for want_cats in (1, 10, 50):
+        f = isin("cat", list(range(want_cats)))
+        res = eng.search_batch(q, k=10, filter=f)
+        elig = np.flatnonzero(cats < want_cats)
+        _, ti = tu.brute_force_knn(q, x[elig], 10, "l2")
+        got = [[c.id for c in r] for r in res]
+        want = [[ids[elig[j]] for j in row] for row in ti]
+        assert got == want, f"filtered mismatch at {want_cats}% selectivity"
 
 
 def test_filtering_equivalence():

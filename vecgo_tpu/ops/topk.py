@@ -33,6 +33,13 @@ _INF = jnp.inf
 # Use the TPU-native approximate top-k for block rows at least this wide.
 _APPROX_MIN_WIDTH = 16_384
 _APPROX_RECALL_TARGET = 0.99
+# Masked/probe-sparsified rows get a tighter target: approx_min_k's binned
+# reduction loses entries when most of the row is +inf (90%-masked filtered
+# scans measured per-op recall ~0.92 at rt=0.99 — a true rank-5 neighbor
+# dropped from a 26-pool, suite 'correlated' @10pct = 0.9859; rt=0.999
+# recovers every miss on the same rows). Unfiltered scans keep 0.99 — their
+# only inf entries are the short padded tail, which never exhibited this.
+_APPROX_RECALL_TARGET_MASKED = 0.999
 
 
 def topk_smallest(scores: jax.Array, k: int):
@@ -41,13 +48,20 @@ def topk_smallest(scores: jax.Array, k: int):
     return -neg, idx
 
 
-def topk_smallest_fast(scores: jax.Array, k: int):
-    """Top-k smallest, allowing the TPU-native approximate path on wide rows
-    (recall_target 0.99 per op; exact on narrow rows and on CPU)."""
+def topk_smallest_fast(scores: jax.Array, k: int, masked: bool = False):
+    """Top-k smallest, allowing the TPU-native approximate path on wide rows.
+    masked=True = the row is inf-sparse (filter mask / IVF probe mask):
+    selection runs at the tighter masked recall target (see above). NOTE:
+    approx_min_k is approximate on every backend (including CPU)."""
     n = scores.shape[-1]
     if n >= _APPROX_MIN_WIDTH and k <= 128:
         return jax.lax.approx_min_k(
-            scores, k, recall_target=_APPROX_RECALL_TARGET
+            scores,
+            k,
+            recall_target=(
+                _APPROX_RECALL_TARGET_MASKED if masked
+                else _APPROX_RECALL_TARGET
+            ),
         )
     return topk_smallest(scores, k)
 
@@ -86,6 +100,7 @@ def _apply_mask(scores, mask):
         "compute_dtype_name",
         "x_normalized",
         "exact",
+        "masked",
     ),
 )
 def _blockwise_search_jit(
@@ -99,6 +114,7 @@ def _blockwise_search_jit(
     compute_dtype_name: Optional[str],
     x_normalized: bool,
     exact: bool,
+    masked: bool = False,  # caller-supplied filter mask -> tighter approx rt
 ):
     from vecgo_tpu.model import Metric
 
@@ -154,7 +170,9 @@ def _blockwise_search_jit(
             # NOTE: over-fetching here (k_block > k) was measured 5x slower in
             # approx_min_k for no recall gain — selection losses are not at the
             # boundary; ranking noise is precision-driven (see distance._matmul).
-            d_loc, i_loc = topk_smallest_fast(scores, min(k, block_rows))
+            d_loc, i_loc = topk_smallest_fast(
+                scores, min(k, block_rows), masked=masked
+            )
         i_loc = i_loc + bi * block_rows
         carry = merge_topk_sorted(d_run, i_run, d_loc, i_loc.astype(jnp.int32), k)
         return carry, None
@@ -166,9 +184,11 @@ def _blockwise_search_jit(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("score_fn", "k", "block_rows", "n_valid")
+    jax.jit,
+    static_argnames=("score_fn", "k", "block_rows", "n_valid", "masked"),
 )
-def _blockwise_scored_jit(q, enc, mask, extra, score_fn, k, block_rows, n_valid):
+def _blockwise_scored_jit(q, enc, mask, extra, score_fn, k, block_rows, n_valid,
+                          masked: bool = False):
     """Generic streaming top-k over encoded arrays.
 
     enc: dict of arrays, each [N_pad, ...] with N_pad % block_rows == 0.
@@ -203,7 +223,9 @@ def _blockwise_scored_jit(q, enc, mask, extra, score_fn, k, block_rows, n_valid)
         if blk_mask is not None:
             valid = valid & blk_mask[None, :]
         scores = jnp.where(valid, scores, _INF)
-        d_loc, i_loc = topk_smallest_fast(scores, min(k, block_rows))
+        d_loc, i_loc = topk_smallest_fast(
+            scores, min(k, block_rows), masked=masked
+        )
         carry = merge_topk_sorted(
             carry[0], carry[1], d_loc, (i_loc + bi * block_rows).astype(jnp.int32), k
         )
@@ -220,11 +242,12 @@ def _blockwise_scored_jit(q, enc, mask, extra, score_fn, k, block_rows, n_valid)
     jax.jit,
     static_argnames=(
         "score_fn", "rr_fn", "k", "pool", "block_rows", "n_valid", "pad",
+        "masked",
     ),
 )
 def _scored_pool_rerank_jit(
     q, enc, mask, extra, full, rn,
-    score_fn, rr_fn, k, pool, block_rows, n_valid, pad,
+    score_fn, rr_fn, k, pool, block_rows, n_valid, pad, masked=False,
 ):
     """FUSED pool-scan + exact rerank + final top-k as ONE device program.
 
@@ -246,7 +269,7 @@ def _scored_pool_rerank_jit(
         if mask is not None:
             mask = jnp.pad(mask, (0, pad))
     _, rows = _blockwise_scored_jit(
-        q, enc, mask, extra, score_fn, pool, block_rows, n_valid
+        q, enc, mask, extra, score_fn, pool, block_rows, n_valid, masked
     )
     d = rr_fn(q, rows, full, rn)
     return topk_smallest_with_ids(d, rows, k)
@@ -273,6 +296,7 @@ def blockwise_scored_pool_rerank(
     return _scored_pool_rerank_jit(
         q, enc, mask, extra, full, rn,
         score_fn, rr_fn, k, pool, block_rows, n, (-n) % block_rows,
+        mask is not None or extra is not None,
     )
 
 
@@ -293,6 +317,10 @@ def blockwise_topk_scored(
     (segments cache their scoring closures).
     """
     block_rows = max(128, min(block_rows, n))
+    # inf-sparse selection hazard: a filter mask or an IVF probe mask (extra)
+    # makes most of each score row +inf -> tighter approx target (see
+    # _APPROX_RECALL_TARGET_MASKED).
+    masked = mask is not None or extra is not None
     pad = (-n) % block_rows
     if pad:
         enc = {
@@ -301,13 +329,15 @@ def blockwise_topk_scored(
         if mask is not None:
             mask = jnp.pad(mask, (0, pad))
     return _blockwise_scored_jit(
-        q, enc, mask, extra, score_fn, k, block_rows, n
+        q, enc, mask, extra, score_fn, k, block_rows, n, masked
     )
 
 
-@functools.partial(jax.jit, static_argnames=("score_fn", "k", "block_rows"))
+@functools.partial(
+    jax.jit, static_argnames=("score_fn", "k", "block_rows", "masked")
+)
 def _stream_step_jit(q, enc_blk, mask_blk, extra, carry_d, carry_i, base, n_valid,
-                     score_fn, k: int, block_rows: int):
+                     score_fn, k: int, block_rows: int, masked: bool = False):
     """One streamed block: score an uploaded [block_rows]-row slice and merge
     into the running top-k."""
     scores = score_fn(q, extra, enc_blk)
@@ -316,7 +346,9 @@ def _stream_step_jit(q, enc_blk, mask_blk, extra, carry_d, carry_i, base, n_vali
     if mask_blk is not None:
         valid = valid & mask_blk[None, :]
     scores = jnp.where(valid, scores, _INF)
-    d_loc, i_loc = topk_smallest_fast(scores, min(k, block_rows))
+    d_loc, i_loc = topk_smallest_fast(
+        scores, min(k, block_rows), masked=masked
+    )
     return merge_topk_sorted(
         carry_d, carry_i, d_loc, (i_loc + base).astype(jnp.int32), k
     )
@@ -363,6 +395,7 @@ def streaming_topk_scored(
         carry_d, carry_i = _stream_step_jit(
             q, enc_blk, mask_blk, extra, carry_d, carry_i,
             jnp.int32(s), jnp.int32(n), score_fn, k, block_rows,
+            mask is not None or extra is not None,
         )
     carry_i = jnp.where(jnp.isfinite(carry_d), carry_i, -1)
     return carry_d, carry_i
@@ -393,6 +426,10 @@ def blockwise_topk_search(
     """
     n = x.shape[0]
     block_rows = max(128, min(block_rows, n))
+    # Tighter approx selection only for a CALLER mask (inf-sparse rows): the
+    # padding-only tail mask below is a short contiguous run that approx_min_k
+    # handles fine at the default target.
+    masked = mask is not None
     if n % block_rows != 0:
         pad = block_rows - (n % block_rows)
         x = jnp.pad(x, ((0, pad), (0, 0)))
@@ -405,5 +442,6 @@ def blockwise_topk_search(
     metric = Metric(metric) if not isinstance(metric, Metric) else metric
     cd = jnp.dtype(compute_dtype).name if compute_dtype is not None else None
     return _blockwise_search_jit(
-        q, x, x_norms_sq, mask, k, metric.value, block_rows, cd, x_normalized, exact
+        q, x, x_norms_sq, mask, k, metric.value, block_rows, cd, x_normalized,
+        exact, masked,
     )
