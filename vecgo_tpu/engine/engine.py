@@ -96,9 +96,10 @@ class EngineOptions:
     serve_ivf_min_n: int = 4096  # min rows for a coded IVF serving table (below: pure graph walk)
     lexical_device: str = "auto"  # "auto" | "off": MXU BM25 snapshot for batched hybrid at >=50k docs
     store_codes: Any = False  # persist ivfq.* codes for cloud serving: False | True/"sq8" | "pq" | "opq"
-    stream_transport: str = "sq8"  # beyond-HBM stream coding: "sq8" (1 B/dim) | "pq" (d/4 B/row, 4x-pooled exact rerank)
+    stream_transport: str = "sq8"  # beyond-HBM stream coding: "sq8" (1 B/dim) | "pq" (d/2 B/row, 128-pooled exact rerank)
     selectivity_cutoff: float = 0.30
-    compact_gather_cutoff: float = 0.05  # <= this selectivity: gather eligible rows into a dense device sub-corpus (scan cost O(sel*N))
+    compact_gather_cutoff: float = 0.50  # <= this selectivity: gather eligible rows into a dense device sub-corpus (scan cost O(sel*N); dense rows also dodge the masked approx_min_k selection hazard, ops/topk.py)
+    plan_gather_budget_bytes: int = 2 << 30  # total HBM the plan cache may hold in gathered sub-corpora (LRU-evicted)
     lexical: bool = False  # BM25 over insert(text=...)
     observer: Any = None  # MetricsObserver
     logger: Any = None  # logging.Logger (reference: WithLogger/slog, engine.go:158)

@@ -179,6 +179,28 @@ class PlanCache:
             while len(self._d) > self._cap:
                 self._d.popitem(last=False)
 
+    @staticmethod
+    def _gathered_bytes(plan) -> int:
+        total = 0
+        for src in plan.sources:
+            c = getattr(src, "compact", None)
+            if c:
+                total += sum(int(getattr(v, "nbytes", 0)) for v in c.values())
+        return total
+
+    def sweep_gathered(self, budget_bytes: int):
+        """Evict LRU plans until cached compact-gather sub-corpora fit the
+        HBM budget. Gathers attach lazily at first dispatch, so this runs
+        AFTER dispatch, not at put() (a 50%-selectivity filter at 1M x 128
+        holds a ~128 MB bf16 sub-corpus per plan)."""
+        if budget_bytes <= 0:
+            return
+        with self._lock:
+            total = sum(self._gathered_bytes(p) for p in self._d.values())
+            while total > budget_bytes and len(self._d) > 1:
+                _, old = self._d.popitem(last=False)
+                total -= self._gathered_bytes(old)
+
     def clear(self):
         with self._lock:
             self._d.clear()
@@ -381,14 +403,20 @@ def _dispatch_chunk(plan: _Plan, qd, opts, options, exact_k: int = 0):
                 rows_elig = jnp.asarray(
                     np.flatnonzero(src.mask).astype(np.int32)
                 )
-                x32 = jnp.take(dev["vectors"], rows_elig, axis=0)
                 src.compact = {
                     "rows": rows_elig,
-                    "x32": x32,
-                    "x16": x32.astype(jnp.bfloat16),
+                    "x16": jnp.take(dev["vectors"], rows_elig, axis=0).astype(
+                        jnp.bfloat16
+                    ),
                     "rn": jnp.take(dev["rnorm2"], rows_elig),
                 }
             cc = src.compact
+            if scan_dtype == "f32" and "x32" not in cc:
+                # f32 sub-corpus only for the exact profile (it doubles the
+                # gather's HBM; the bf16 profile reranks from the FULL f32
+                # table by global row id and never reads it).
+                dev = seg.device_state()
+                cc["x32"] = jnp.take(dev["vectors"], cc["rows"], axis=0)
             n_sub = int(cc["x16"].shape[0])
             if scan_dtype == "f32":
                 # Exact sub-corpus scan: honors the engine's full-precision
@@ -404,8 +432,13 @@ def _dispatch_chunk(plan: _Plan, qd, opts, options, exact_k: int = 0):
                     -1,
                 )
             else:
+                # Pool margin 24 (vs the resident path's 8): the sub-corpus
+                # scan is O(sel*N) so the wider approx pool is nearly free,
+                # and it absorbs both bf16 ranking noise and approx_min_k's
+                # ~1e-3 dense selection losses before the exact rerank
+                # (chip: compact@10pct recall 0.9982 at +8).
                 _, lrows = T.blockwise_topk_search(
-                    qd, cc["x16"], min(kk + 8, n_sub), metric=metric,
+                    qd, cc["x16"], min(kk + 24, n_sub), metric=metric,
                     x_norms_sq=cc["rn"], block_rows=min(131072, n_sub),
                     compute_dtype=jnp.bfloat16, x_normalized=True,
                 )
@@ -867,6 +900,12 @@ def _dispatch_batch(
             chunks[0].copy_to_host_async()
         except Exception:  # noqa: BLE001 — an eager-copy miss is perf-only
             pass
+    if plan_cache is not None:
+        # Compact-gather sub-corpora attach to plans at first dispatch —
+        # enforce the HBM budget now (LRU-evict over-budget plans).
+        plan_cache.sweep_gathered(
+            getattr(options, "plan_gather_budget_bytes", 2 << 30)
+        )
     t_score = time.perf_counter()
     return _PendingBatch(
         plan,

@@ -486,14 +486,6 @@ class FlatSegment(common.RowBlobAccess):
         # tunnel rounds per batch (bench r4: flat_rr 26 ms vs flat_bf16
         # 13.3 ms at 1M x 4096).
         kp = min(self.n, k + (8 if bf16_rr else 16))
-        if dmask is not None or extra is not None:
-            # Masked/probed scans: approx_min_k's binned selection loses
-            # entries on inf-sparse rows even at the tightened masked recall
-            # target (measured 0.9969 @ pool 26; a 64+-wide pool measured
-            # zero misses on the same fixture — bin-collision losses shrink
-            # superlinearly with pool width). The exact rerank repairs any
-            # ordering cost of the wider pool.
-            kp = min(self.n, max(kp, 64))
         return topk_ops.blockwise_scored_pool_rerank(
             q,
             enc,

@@ -33,13 +33,6 @@ _INF = jnp.inf
 # Use the TPU-native approximate top-k for block rows at least this wide.
 _APPROX_MIN_WIDTH = 16_384
 _APPROX_RECALL_TARGET = 0.99
-# Masked/probe-sparsified rows get a tighter target: approx_min_k's binned
-# reduction loses entries when most of the row is +inf (90%-masked filtered
-# scans measured per-op recall ~0.92 at rt=0.99 — a true rank-5 neighbor
-# dropped from a 26-pool, suite 'correlated' @10pct = 0.9859; rt=0.999
-# recovers every miss on the same rows). Unfiltered scans keep 0.99 — their
-# only inf entries are the short padded tail, which never exhibited this.
-_APPROX_RECALL_TARGET_MASKED = 0.999
 
 
 def topk_smallest(scores: jax.Array, k: int):
@@ -50,18 +43,24 @@ def topk_smallest(scores: jax.Array, k: int):
 
 def topk_smallest_fast(scores: jax.Array, k: int, masked: bool = False):
     """Top-k smallest, allowing the TPU-native approximate path on wide rows.
-    masked=True = the row is inf-sparse (filter mask / IVF probe mask):
-    selection runs at the tighter masked recall target (see above). NOTE:
-    approx_min_k is approximate on every backend (including CPU)."""
+
+    masked=True = the row is inf-sparse (filter mask / IVF probe mask) and
+    selection is EXACT lax.top_k: approx_min_k's binned reduction loses
+    entries on inf-sparse rows (measured per-op recall ~0.92 at rt=0.99 on a
+    90%-masked 131072-wide row — a true rank-5 neighbor dropped from a
+    26-pool; it is approximate on EVERY backend, including CPU). Tightening
+    recall_target instead degenerates: the reduction size k/(1-rt^(1/k))
+    exceeds the row width already at rt=0.999/k=26, which lowers to a FULL
+    SORT (measured 1.5k QPS vs 50k at 1M — the r5 filtered collapse). The
+    planner keeps masked scans rare by compact-gathering eligible rows into
+    a dense sub-corpus up to compact_gather_cutoff selectivity; this exact
+    path is the fallback above the cutoff and for the memtable."""
     n = scores.shape[-1]
+    if masked:
+        return topk_smallest(scores, k)
     if n >= _APPROX_MIN_WIDTH and k <= 128:
         return jax.lax.approx_min_k(
-            scores,
-            k,
-            recall_target=(
-                _APPROX_RECALL_TARGET_MASKED if masked
-                else _APPROX_RECALL_TARGET
-            ),
+            scores, k, recall_target=_APPROX_RECALL_TARGET
         )
     return topk_smallest(scores, k)
 
